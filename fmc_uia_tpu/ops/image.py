@@ -1,0 +1,111 @@
+"""Device-side photometric augmentation + normalization.
+
+The reference runs albumentations on CPU worker processes
+(reference train.py:35-54: Resize → RandomBrightnessContrast(p) →
+GaussNoise(p) → Normalize → ToTensor). TPU-first split: the host only decodes
+and geometrically resizes to the static training resolution (fixed shapes for
+XLA); everything photometric runs on device over the whole batch:
+
+    uint8 [B, H, W, 3] → brightness/contrast → gauss noise → (x/255 - mean)/std
+
+Randomness is driven by explicit JAX PRNG keys (per-image apply-probability
+and parameter sampling match albumentations' default semantics:
+brightness/contrast limits ±0.2 with brightness_by_max, gauss noise variance
+uniform in [10, 50] on the 0..255 scale). Bit-exactness with albumentations'
+RNG stream is not a goal — these are random augmentations; the deterministic
+val path (normalize only) is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_images(
+    images: jax.Array,
+    mean: Sequence[float],
+    std: Sequence[float],
+    dtype=jnp.float32,
+) -> jax.Array:
+    """(x/255 - mean) / std, matching A.Normalize (max_pixel_value=255)."""
+    mean = jnp.asarray(mean, jnp.float32) * 255.0
+    denom = jnp.asarray(std, jnp.float32) * 255.0
+    x = images.astype(jnp.float32)
+    return ((x - mean) / denom).astype(dtype)
+
+
+def random_brightness_contrast(
+    key: jax.Array,
+    images: jax.Array,
+    p: float = 0.2,
+    brightness_limit: float = 0.2,
+    contrast_limit: float = 0.2,
+) -> jax.Array:
+    """Per-image random brightness/contrast on the 0..255 scale.
+
+    alpha = 1 + U(-contrast_limit, contrast_limit)
+    beta  = U(-brightness_limit, brightness_limit) * 255   (brightness_by_max)
+    out   = clip(x * alpha + beta, 0, 255), applied with probability p.
+    """
+    B = images.shape[0]
+    k_apply, k_alpha, k_beta = jax.random.split(key, 3)
+    apply = jax.random.bernoulli(k_apply, p, (B,))
+    alpha = 1.0 + jax.random.uniform(
+        k_alpha, (B,), minval=-contrast_limit, maxval=contrast_limit
+    )
+    beta = jax.random.uniform(
+        k_beta, (B,), minval=-brightness_limit, maxval=brightness_limit
+    ) * 255.0
+    alpha = jnp.where(apply, alpha, 1.0)[:, None, None, None]
+    beta = jnp.where(apply, beta, 0.0)[:, None, None, None]
+    x = images.astype(jnp.float32)
+    return jnp.clip(x * alpha + beta, 0.0, 255.0)
+
+
+def random_gauss_noise(
+    key: jax.Array,
+    images: jax.Array,
+    p: float = 0.1,
+    var_limit: Tuple[float, float] = (10.0, 50.0),
+) -> jax.Array:
+    """Per-image additive gaussian noise on the 0..255 scale."""
+    B = images.shape[0]
+    k_apply, k_var, k_noise = jax.random.split(key, 3)
+    apply = jax.random.bernoulli(k_apply, p, (B,))
+    var = jax.random.uniform(
+        k_var, (B,), minval=var_limit[0], maxval=var_limit[1]
+    )
+    sigma = jnp.sqrt(var)
+    noise = jax.random.normal(k_noise, images.shape, jnp.float32)
+    scale = jnp.where(apply, sigma, 0.0)[:, None, None, None]
+    x = images.astype(jnp.float32)
+    return jnp.clip(x + noise * scale, 0.0, 255.0)
+
+
+def augment_and_normalize(
+    key: Optional[jax.Array],
+    images: jax.Array,
+    mean: Sequence[float],
+    std: Sequence[float],
+    brightness_contrast_p: float = 0.2,
+    gauss_noise_p: float = 0.1,
+    train: bool = True,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Full device-side photometric chain.
+
+    Train: brightness/contrast → noise → normalize (reference train.py:35-44).
+    Val:   normalize only (reference train.py:47-54).
+    """
+    if train:
+        if key is None:
+            raise ValueError("train=True requires a PRNG key")
+        k_bc, k_noise = jax.random.split(key)
+        x = random_brightness_contrast(k_bc, images, p=brightness_contrast_p)
+        x = random_gauss_noise(k_noise, x, p=gauss_noise_p)
+    else:
+        x = images
+    return normalize_images(x, mean, std, dtype=dtype)
