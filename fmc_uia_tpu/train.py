@@ -1,0 +1,425 @@
+"""Training driver: optimizer, schedules, compiled train steps, fit loop.
+
+The reference's eager per-batch loop (reference train.py:256-513) becomes
+four jit-compiled train steps — one per task TYPE — each fusing:
+
+    device photometric augmentation -> forward -> (CenterNet target
+    synthesis) -> loss -> adaptive weighting -> backward -> grad clip ->
+    AdamW update
+
+into a single XLA program with donated state buffers. The host only streams
+batches and picks which of the 4 steps to call (the sampler guarantees
+single-task batches). Learning-rate schedules enter the step as a device
+scalar, so epoch transitions never recompile.
+
+Optimizer parity notes (reference train.py:176-253):
+  * grouped LR: encoder x0.1 / heads x1.0 via per-label static multipliers,
+    AdamW(b1=0.9, b2=0.999, eps=1e-8) + decoupled weight decay.
+  * gradient clipping applies to MODEL params only (the reference clips
+    model.parameters(); adaptive log-vars are not clipped, train.py:446).
+  * adaptive-loss warmup freezes log-var updates via a 0/1 device flag
+    (reference zeroes their grads, train.py:449-453).
+  * encoder freezing = zero-update label (reference flips requires_grad).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from fmc_uia_tpu import losses as losses_lib
+from fmc_uia_tpu.ops.centernet import make_centernet_targets
+from fmc_uia_tpu.ops.image import augment_and_normalize
+from fmc_uia_tpu.tasks import (
+    CLASSIFICATION,
+    DETECTION,
+    REGRESSION,
+    SEGMENTATION,
+    TaskRegistry,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any  # {'model': ..., 'adaptive': ... (optional)}
+    opt_state: Any
+
+
+# --------------------------------------------------------------------------
+# Optimizer
+# --------------------------------------------------------------------------
+def label_params(params: Dict, freeze_encoder: bool = False) -> Dict:
+    """Path-based param labels: encoder / head / adaptive / frozen."""
+
+    def label_model(path_key):
+        top = path_key[0].key if hasattr(path_key[0], "key") else path_key[0]
+        if top == "encoder":
+            return "frozen" if freeze_encoder else "encoder"
+        return "head"
+
+    labels = {}
+    labels["model"] = jax.tree_util.tree_map_with_path(
+        lambda p, _: label_model(p), params["model"]
+    )
+    if "adaptive" in params:
+        labels["adaptive"] = jax.tree_util.tree_map(
+            lambda _: "adaptive", params["adaptive"]
+        )
+    return labels
+
+
+def build_optimizer(config, params) -> optax.GradientTransformation:
+    """Multi-group AdamW; final updates are pre-multiplied by the group's
+    static LR multiplier and later by the dynamic (base_lr * schedule) scalar
+    inside the train step."""
+    opt_cfg = config.get("training.optimizer", {}) or {}
+    opt_type = str(opt_cfg.get("type", "AdamW"))
+    wd = float(config.weight_decay)
+    base_lr = float(config.learning_rate)
+    use_grouped = bool(opt_cfg.get("use_grouped_lr", True))
+    enc_mult = float(opt_cfg.get("encoder_lr_multiplier", 0.1)) if use_grouped else 1.0
+    head_mult = float(opt_cfg.get("head_lr_multiplier", 1.0)) if use_grouped else 1.0
+    adaptive_lr = float(
+        config.get("training.adaptive_loss.learning_rate", base_lr))
+    adaptive_mult = adaptive_lr / base_lr
+
+    def group(mult: float) -> optax.GradientTransformation:
+        if opt_type == "SGD":
+            momentum = float(opt_cfg.get("momentum", 0.9))
+            return optax.chain(
+                optax.trace(decay=momentum),
+                optax.add_decayed_weights(wd),
+                optax.scale(mult),
+            )
+        if opt_type == "Adam":
+            return optax.chain(
+                optax.scale_by_adam(),
+                optax.scale(mult),
+            )
+        if opt_type == "AdamW":
+            return optax.chain(
+                optax.scale_by_adam(),
+                optax.add_decayed_weights(wd),
+                optax.scale(mult),
+            )
+        raise ValueError(f"Unknown optimizer type: {opt_type}")
+
+    freeze = bool(config.get("model.encoder.freeze_encoder", False))
+    labels = label_params(params, freeze_encoder=freeze)
+    return optax.multi_transform(
+        {
+            "encoder": group(enc_mult),
+            "head": group(head_mult),
+            "adaptive": group(adaptive_mult),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+
+
+# --------------------------------------------------------------------------
+# LR schedule (host-side epoch -> scale factor)
+# --------------------------------------------------------------------------
+class LRScheduler:
+    """Epoch-granularity schedule emitting a multiplicative scale on base_lr
+    (reference build_scheduler, train.py:222-253). Plateau mode consumes the
+    validation score via ``step(score)``."""
+
+    def __init__(self, config):
+        sch = config.get("training.scheduler", {}) or {}
+        self.kind = sch.get("type", "CosineAnnealingLR")
+        self.base_lr = float(config.learning_rate)
+        self.epoch = 0
+        self.scale = 1.0
+        if self.kind == "CosineAnnealingLR":
+            self.t_max = int(sch.get("T_max", config.num_epochs))
+            self.eta_min = float(sch.get("eta_min", 1e-6))
+        elif self.kind == "StepLR":
+            self.step_size = int(sch.get("step_size", 20))
+            self.gamma = float(sch.get("gamma", 0.1))
+        elif self.kind == "ReduceLROnPlateau":
+            self.mode = sch.get("mode", "max")
+            self.factor = float(sch.get("factor", 0.5))
+            self.patience = int(sch.get("patience", 5))
+            self._best = -np.inf if self.mode == "max" else np.inf
+            self._bad = 0
+        elif self.kind in ("None", None):
+            self.kind = None
+        else:
+            raise ValueError(f"Unknown scheduler type: {self.kind}")
+
+    def current_scale(self) -> float:
+        return self.scale
+
+    def current_lr(self) -> float:
+        return self.base_lr * self.scale
+
+    def step(self, score: Optional[float] = None) -> None:
+        self.epoch += 1
+        if self.kind == "CosineAnnealingLR":
+            e = min(self.epoch, self.t_max)
+            lr = self.eta_min + (self.base_lr - self.eta_min) * (
+                1 + np.cos(np.pi * e / self.t_max)) / 2
+            self.scale = lr / self.base_lr
+        elif self.kind == "StepLR":
+            self.scale = self.gamma ** (self.epoch // self.step_size)
+        elif self.kind == "ReduceLROnPlateau" and score is not None:
+            improved = (score > self._best) if self.mode == "max" else (
+                score < self._best)
+            if improved:
+                self._best = score
+                self._bad = 0
+            else:
+                self._bad += 1
+                if self._bad > self.patience:
+                    self.scale *= self.factor
+                    self._bad = 0
+
+
+# --------------------------------------------------------------------------
+# Train steps
+# --------------------------------------------------------------------------
+def _clip_by_global_norm(tree, max_norm: float):
+    """Clip the pytree's grads by global L2 norm (torch clip_grad_norm_)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                         for x in leaves))
+    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+    return jax.tree_util.tree_map(lambda x: x * scale, tree), gnorm
+
+
+def _sum_intermediates(inter, key_substr: str):
+    total = jnp.asarray(0.0, jnp.float32)
+    count = 0
+
+    def visit(node, path=""):
+        nonlocal total, count
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if key_substr in str(k):
+                    for leaf in jax.tree_util.tree_leaves(v):
+                        total = total + jnp.asarray(leaf, jnp.float32)
+                        count += 1
+                else:
+                    visit(v, path + "/" + str(k))
+
+    visit(inter)
+    return total, count
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    config,
+    registry: TaskRegistry,
+    task_type: str,
+    loss_fns: Dict[str, Callable],
+    loss_weights: Optional[Dict[str, float]],
+) -> Callable:
+    """Build the jit-compiled train step for one task type."""
+    mean = config.get("data.augmentation.normalize.mean")
+    std = config.get("data.augmentation.normalize.std")
+    aug_cfg = config.get_augmentation_config("train") or {}
+    bc_p = float(aug_cfg.get("random_brightness_contrast", 0.2))
+    noise_p = float(aug_cfg.get("gauss_noise", 0.1))
+    compute_dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
+
+    grad_clip = float(config.get("training.gradient_clip", 0) or 0)
+    moe_balance_w = float(config.get("model.moe.balance_loss_weight", 0.0))
+    use_adaptive = config.get("training.adaptive_loss.enabled", False)
+    fixed_weight = 1.0
+    if not use_adaptive and loss_weights:
+        key = "regression" if task_type == REGRESSION else task_type
+        fixed_weight = float(loss_weights.get(key, loss_weights.get(
+            task_type, 1.0)))
+
+    use_deep_sup = bool(config.get(
+        "model.heads.segmentation.use_deep_supervision", False))
+    aux_weights = [float(w) for w in config.get(
+        "model.heads.segmentation.aux_loss_weights", [0.5, 0.3, 0.2])]
+
+    nc_table = jnp.asarray(registry.num_classes_table)
+    loss_fn_for_type = loss_fns[task_type]
+
+    def compute_raw_loss(outputs, labels, task_index):
+        ncls = jnp.take(nc_table, task_index)
+        if task_type == SEGMENTATION:
+            if isinstance(outputs, tuple) and use_deep_sup:
+                main, auxs = outputs
+                loss = loss_fn_for_type(main, labels,
+                                        num_valid_classes=ncls)
+                th, tw = labels.shape[1], labels.shape[2]
+                for w, aux in zip(aux_weights, auxs):
+                    aux_up = jax.image.resize(
+                        aux.astype(jnp.float32),
+                        (aux.shape[0], th, tw, aux.shape[-1]),
+                        method="bilinear")
+                    loss = loss + w * loss_fn_for_type(
+                        aux_up, labels, num_valid_classes=ncls)
+                return loss
+            if isinstance(outputs, tuple):
+                outputs = outputs[0]
+            return loss_fn_for_type(outputs, labels, num_valid_classes=ncls)
+
+        if task_type == CLASSIFICATION:
+            return loss_fn_for_type(outputs, labels, num_valid_classes=ncls)
+
+        if task_type == DETECTION:
+            if isinstance(outputs, dict):  # CenterNet
+                H, W = outputs["heatmap"].shape[1], outputs["heatmap"].shape[2]
+                targets = make_centernet_targets(labels, H, W)
+                preds = {k: v.astype(jnp.float32)
+                         for k, v in outputs.items()}
+                return loss_fn_for_type(preds, targets)
+            # grid head: gather prediction at the GT center cell
+            # (vectorized form of reference train.py:400-418)
+            B, H, W, _ = outputs.shape
+            cx = (labels[:, 0] + labels[:, 2]) * 0.5
+            cy = (labels[:, 1] + labels[:, 3]) * 0.5
+            gw = jnp.clip(jnp.floor(cx * W).astype(jnp.int32), 0, W - 1)
+            gh = jnp.clip(jnp.floor(cy * H).astype(jnp.int32), 0, H - 1)
+            picked = outputs[jnp.arange(B), gh, gw, :].astype(jnp.float32)
+            valid = jnp.all(labels >= 0, axis=1)
+            clean = jnp.where(valid[:, None], labels, 0.0)
+            targets = jnp.concatenate(
+                [clean, valid.astype(jnp.float32)[:, None]], axis=1)
+            return loss_fn_for_type(picked, targets)
+
+        # Regression
+        return loss_fn_for_type(outputs.astype(jnp.float32), labels)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images, labels, task_index,
+                   lr: jax.Array, adaptive_enable: jax.Array,
+                   rng: jax.Array):
+        k_aug, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        x = augment_and_normalize(
+            k_aug, images, mean, std,
+            brightness_contrast_p=bc_p, gauss_noise_p=noise_p,
+            train=True, dtype=compute_dtype)
+
+        def loss_fn(params):
+            outputs, mut = model.apply(
+                {"params": params["model"]}, x, task_type, task_index,
+                train=True, rngs={"dropout": k_drop},
+                mutable=["intermediates"])
+            raw_loss = compute_raw_loss(outputs, labels, task_index)
+
+            logs = {"raw_loss": raw_loss}
+            if use_adaptive:
+                total, weighted, weights = losses_lib.adaptive_weighted_loss(
+                    params["adaptive"], {task_type: raw_loss})
+                # warmup handled via grad gating below; forward is identical
+                logs["task_weight"] = weights[task_type]
+            else:
+                total = raw_loss * fixed_weight
+                logs["task_weight"] = jnp.asarray(fixed_weight)
+
+            if moe_balance_w > 0:
+                moe_aux, n = _sum_intermediates(
+                    mut.get("intermediates", {}), "moe_aux")
+                if n > 0:
+                    total = total + moe_balance_w * moe_aux
+                    logs["moe_aux"] = moe_aux
+            logs["total_loss"] = total
+            return total, logs
+
+        (loss, logs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        if grad_clip > 0:
+            clipped_model, gnorm = _clip_by_global_norm(
+                grads["model"], grad_clip)
+            grads = dict(grads, model=clipped_model)
+            logs["grad_norm"] = gnorm
+        if use_adaptive and "adaptive" in grads:
+            grads = dict(grads, adaptive=jax.tree_util.tree_map(
+                lambda g: g * adaptive_enable, grads["adaptive"]))
+
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt_state)
+        return new_state, logs
+
+    return train_step
+
+
+# --------------------------------------------------------------------------
+# Trainer
+# --------------------------------------------------------------------------
+class Trainer:
+    """Holds the 4 compiled steps + optimizer/schedule state."""
+
+    def __init__(self, config, model, registry: TaskRegistry,
+                 init_params: Dict, rng: jax.Array):
+        self.config = config
+        self.model = model
+        self.registry = registry
+        self.rng = rng
+
+        loss_fns, loss_weights, adaptive_log_vars = (
+            losses_lib.build_all_losses(config, registry))
+        self.loss_fns = loss_fns
+        self.loss_weights = loss_weights
+        self.use_adaptive = adaptive_log_vars is not None
+        self.adaptive_warmup = int(
+            config.get("training.adaptive_loss.warmup_epochs", 0))
+
+        params: Dict[str, Any] = {"model": init_params}
+        if self.use_adaptive:
+            params["adaptive"] = adaptive_log_vars
+        self.tx = build_optimizer(config, params)
+        self.state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+        )
+        self.scheduler = LRScheduler(config)
+
+        self.steps = {
+            t: make_train_step(model, self.tx, config, registry, t,
+                               loss_fns, loss_weights)
+            for t in registry.present_types()
+        }
+
+    def train_batch(self, batch: Dict, epoch: int) -> Dict[str, float]:
+        task_type = batch["task_type"]
+        adaptive_enable = jnp.asarray(
+            0.0 if (self.use_adaptive and epoch < self.adaptive_warmup)
+            else 1.0, jnp.float32)
+        lr = jnp.asarray(self.scheduler.current_lr(), jnp.float32)
+        self.state, logs = self.steps[task_type](
+            self.state,
+            jnp.asarray(batch["image"]),
+            jnp.asarray(batch["label"]),
+            jnp.asarray(batch["task_index"], jnp.int32),
+            lr,
+            adaptive_enable,
+            self.rng,
+        )
+        return logs
+
+    @property
+    def model_params(self):
+        return self.state.params["model"]
+
+    def adaptive_snapshot(self) -> Optional[Dict[str, Dict[str, float]]]:
+        if not self.use_adaptive:
+            return None
+        lv = self.state.params["adaptive"]
+        return {
+            "weights": {k: float(v) for k, v in
+                        losses_lib.adaptive_weights(lv).items()},
+            "sigmas": {k: float(v) for k, v in
+                       losses_lib.adaptive_sigmas(lv).items()},
+        }

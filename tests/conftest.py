@@ -11,6 +11,12 @@ process, which is why this happens at conftest import time.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compile cache: the model graphs are large and CPU XLA compiles
+# are the dominant test cost; cache them across pytest runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
