@@ -1,0 +1,313 @@
+"""Swin Transformer encoder (flax linen, NHWC, TPU-first).
+
+Fills the reference's ``SwinTransformerEncoder`` role (reference
+encoders.py:37-159, which wraps timm ``features_only`` Swin): a 4-stage
+hierarchical transformer producing stride-4/8/16/32 features with channels
+(C, 2C, 4C, 8C).
+
+From-scratch TPU design notes:
+  * Everything is NHWC with static shapes. Window partition is a reshape;
+    cyclic shift is jnp.roll; non-multiple resolutions are padded up to the
+    window size with attention masking (so 512^2 inputs -> 128x128 stride-4
+    grids work, 128 % 7 != 0).
+  * Window attention runs as batched MXU matmuls over [B*nW, heads, 49, dh]
+    with a precomputed relative-position-bias table and a static shift mask.
+  * bf16 compute / f32 params; LayerNorm in f32 for stability.
+
+Variants (reference encoders.py:14-20 name map):
+  swin_t (2,2,6,2)x96, swin_s (2,2,18,2)x96, swin_b (2,2,18,2)x128,
+  swin_l (2,2,18,2)x192; window 7, mlp ratio 4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    """Static [ws*ws, ws*ws] index into the (2ws-1)^2 bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij"))  # [2, ws, ws]
+    flat = coords.reshape(2, -1)  # [2, ws*ws]
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, N, N]
+    rel = rel.transpose(1, 2, 0)  # [N, N, 2]
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)  # [N, N]
+
+
+def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """Static additive attention mask [nW, N, N] for shifted windows
+    (standard Swin region-id construction), padded cells get their own id."""
+    img_mask = np.zeros((hp, wp), np.int32)
+    h_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    w_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    cnt = 0
+    for hs in h_slices:
+        for wss in w_slices:
+            img_mask[hs, wss] = cnt
+            cnt += 1
+    windows = img_mask.reshape(hp // ws, ws, wp // ws, ws)
+    windows = windows.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = windows[:, None, :] != windows[:, :, None]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+def _pad_attn_mask(hp: int, wp: int, h: int, w: int, ws: int) -> np.ndarray:
+    """Additive mask hiding right/bottom padding: [nW, N, N]."""
+    valid = np.zeros((hp, wp), np.bool_)
+    valid[:h, :w] = True
+    windows = valid.reshape(hp // ws, ws, wp // ws, ws)
+    windows = windows.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    # key positions that are padding are masked out for every query
+    mask = np.where(windows[:, None, :], 0.0, -100.0).astype(np.float32)
+    return np.broadcast_to(mask, (windows.shape[0], ws * ws, ws * ws)).copy()
+
+
+def window_partition(x: jax.Array, ws: int) -> jax.Array:
+    """[B, Hp, Wp, C] -> [B*nW, ws*ws, C]."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_unpartition(windows: jax.Array, ws: int, hp: int, wp: int
+                       ) -> jax.Array:
+    """[B*nW, ws*ws, C] -> [B, Hp, Wp, C]."""
+    C = windows.shape[-1]
+    B = windows.shape[0] // ((hp // ws) * (wp // ws))
+    x = windows.reshape(B, hp // ws, wp // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, hp, wp, C)
+
+
+class WindowAttention(nn.Module):
+    """Multi-head self-attention inside ws x ws windows with relative bias."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, attn_mask: Optional[jax.Array]) -> jax.Array:
+        # x: [B*nW, N, C]; attn_mask: [nW, N, N] additive or None
+        Bn, N, C = x.shape
+        H = self.num_heads
+        dh = C // H
+        ws = self.window_size
+
+        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(Bn, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [Bn, H, N, dh]
+
+        scale = dh ** -0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+
+        bias_table = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, H), jnp.float32,
+        )
+        rel_idx = jnp.asarray(_relative_position_index(ws).reshape(-1))
+        bias = jnp.take(bias_table, rel_idx, axis=0)
+        bias = bias.reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
+        attn = attn + bias[None]
+
+        if attn_mask is not None:
+            nW = attn_mask.shape[0]
+            attn = attn.reshape(Bn // nW, nW, H, N, N)
+            attn = attn + attn_mask[None, :, None, :, :]
+            attn = attn.reshape(Bn, H, N, N)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        key = self.make_rng("dropout")
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(key, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int  # 0 or window_size // 2
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        B, H, W, C = x.shape
+        ws = self.window_size
+        hp = -(-H // ws) * ws
+        wp = -(-W // ws) * ws
+        pad = (hp != H) or (wp != W)
+
+        shortcut = x
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        if pad:
+            y = jnp.pad(y, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
+        if self.shift > 0:
+            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+
+        # static additive attention mask (shift regions + padding)
+        mask_np = None
+        if self.shift > 0:
+            mask_np = _shift_attn_mask(hp, wp, ws, self.shift)
+        if pad:
+            # padded cells as keys must be hidden; under cyclic shift the
+            # shift mask's region ids already separate wrapped content, but
+            # the pad area needs masking in both cases. Roll the validity
+            # map the same way the features are rolled.
+            valid = np.zeros((hp, wp), np.bool_)
+            valid[:H, :W] = True
+            if self.shift > 0:
+                valid = np.roll(valid, (-self.shift, -self.shift),
+                                axis=(0, 1))
+            vw = valid.reshape(hp // ws, ws, wp // ws, ws)
+            vw = vw.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+            pad_mask = np.where(vw[:, None, :], 0.0, -100.0).astype(np.float32)
+            mask_np = pad_mask if mask_np is None else mask_np + pad_mask
+        attn_mask = None if mask_np is None else jnp.asarray(mask_np)
+
+        windows = window_partition(y, ws)
+        windows = WindowAttention(
+            dim=C, num_heads=self.num_heads, window_size=ws,
+            dtype=self.dtype, name="attn")(windows, attn_mask)
+        y = window_unpartition(windows, ws, hp, wp)
+
+        if self.shift > 0:
+            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        if pad:
+            y = y[:, :H, :W, :]
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            y, deterministic=not train)
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + DropPath(self.drop_path, name="drop_path2")(
+            y, deterministic=not train)
+
+
+class PatchMerging(nn.Module):
+    """2x2 neighborhood concat -> LN -> Linear(4C -> 2C)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+            H, W = x.shape[1], x.shape[2]
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
+
+
+class SwinEncoder(nn.Module):
+    """4-stage Swin pyramid encoder."""
+
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1
+    patch_size: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> Tuple[int, int, int, int]:
+        return tuple(self.embed_dim * (2**i) for i in range(4))
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype, name="patch_embed")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x)
+
+        total_blocks = sum(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, total_blocks)
+        block_id = 0
+
+        features = []
+        for stage, depth in enumerate(self.depths):
+            if stage > 0:
+                x = PatchMerging(dtype=self.dtype,
+                                 name=f"merge{stage}")(x)
+            dim = self.embed_dim * (2**stage)
+            for b in range(depth):
+                x = SwinBlock(
+                    dim=dim,
+                    num_heads=self.num_heads[stage],
+                    window_size=self.window_size,
+                    shift=0 if b % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path=float(dpr[block_id]),
+                    dtype=self.dtype,
+                    name=f"stage{stage}_block{b}",
+                )(x, train=train)
+                block_id += 1
+            features.append(x)
+        return features
+
+
+_SWIN_VARIANTS = {
+    "swin_t": dict(embed_dim=96, depths=(2, 2, 6, 2),
+                   num_heads=(3, 6, 12, 24)),
+    "swin_s": dict(embed_dim=96, depths=(2, 2, 18, 2),
+                   num_heads=(3, 6, 12, 24)),
+    "swin_b": dict(embed_dim=128, depths=(2, 2, 18, 2),
+                   num_heads=(4, 8, 16, 32)),
+    "swin_l": dict(embed_dim=192, depths=(2, 2, 18, 2),
+                   num_heads=(6, 12, 24, 48)),
+    # test-size variant
+    "swin_nano": dict(embed_dim=32, depths=(1, 1, 1, 1),
+                      num_heads=(2, 2, 4, 4)),
+}
+
+
+def build_swin(name: str, config=None, dtype=jnp.float32) -> SwinEncoder:
+    if name not in _SWIN_VARIANTS:
+        raise ValueError(
+            f"Unknown swin variant {name!r}; have {sorted(_SWIN_VARIANTS)}")
+    kwargs = dict(_SWIN_VARIANTS[name])
+    drop_path = 0.1
+    if config is not None:
+        drop_path = float(config.get("model.encoder.drop_path_rate", 0.1))
+    return SwinEncoder(dtype=dtype, drop_path_rate=drop_path, **kwargs)

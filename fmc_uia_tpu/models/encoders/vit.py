@@ -1,0 +1,239 @@
+"""Plain ViT backbone + multi-scale encoder wrappers.
+
+Covers the reference's three ViT-family encoder paths (reference
+encoders.py): ``TimmEncoder`` for vit_*/timm: names (:162-292),
+``Dinov3Encoder`` with 'resize' or 'spm_interaction' adapters (:487-658).
+The transformer itself is built from scratch (the reference delegates to
+timm); intermediate block outputs at ``out_indices`` become the 4 pyramid
+sources exactly like timm's ``features_only`` mode.
+
+TPU notes: global attention over <= (512/16)^2 = 1024 tokens runs as plain
+batched MXU matmuls (flash-style tiling is unnecessary at this length);
+bf16 compute, f32 LayerNorm. The frozen-DINO option is realized as an
+optimizer zero-update label on the ``backbone`` subtree (see
+train.label_params), not a requires_grad flip.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fmc_uia_tpu.models.encoders.adapters import (
+    FourScaleAdapter,
+    InteractionBlock,
+    SpatialPyramidModule,
+)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, N, C]
+        B, N, C = x.shape
+        H = self.num_heads
+        dh = C // H
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(
+            y.astype(self.dtype))
+        qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (dh**-0.5), k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                       preferred_element_type=jnp.float32)
+        o = o.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, N, C)
+        x = x + nn.Dense(C, dtype=self.dtype, name="proj")(o)
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(y.astype(self.dtype))
+        y = nn.gelu(y)
+        y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class ViTBackbone(nn.Module):
+    """Patch-embed ViT returning token maps at ``out_indices`` blocks."""
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    patch_size: int = 16
+    out_indices: Sequence[int] = (2, 5, 8, 11)
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        del train
+        B, H, W, _ = x.shape
+        p = self.patch_size
+        gh, gw = H // p, W // p
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p),
+                    dtype=self.dtype, name="patch_embed")(
+            x.astype(self.dtype))
+        x = x.reshape(B, gh * gw, self.embed_dim)
+
+        pos = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, gh * gw, self.embed_dim), jnp.float32)
+        x = x + pos.astype(self.dtype)
+
+        outs = []
+        want = set(self.out_indices)
+        for i in range(self.depth):
+            x = ViTBlock(dim=self.embed_dim, num_heads=self.num_heads,
+                         mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                         name=f"block{i}")(x)
+            if i in want:
+                outs.append(x.reshape(B, gh, gw, self.embed_dim))
+        if not outs:
+            outs = [x.reshape(B, gh, gw, self.embed_dim)]
+        return outs
+
+
+class ViTMultiScaleEncoder(nn.Module):
+    """ViT backbone + 'resize' (FourScaleAdapter) or 'spm_interaction'
+    adapter producing the 4-stage pyramid contract."""
+
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch_size: int = 16
+    out_indices: Sequence[int] = (2, 5, 8, 11)
+    adapter_type: str = "resize"  # 'resize' | 'spm_interaction'
+    adapter_channels: int = 256
+    spm_stem_channels: int = 64
+    interaction_heads: int = 8
+    interaction_points: int = 4
+    interaction_offset_range: float = 0.25
+    vit_layer_mapping: Optional[Sequence[int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> Tuple[int, int, int, int]:
+        return (self.adapter_channels,) * 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        raw = ViTBackbone(
+            embed_dim=self.embed_dim, depth=self.depth,
+            num_heads=self.num_heads, patch_size=self.patch_size,
+            out_indices=tuple(self.out_indices), dtype=self.dtype,
+            name="backbone",
+        )(x, train=train)
+        raw = raw[:4]
+        while len(raw) < 4:
+            raw.append(raw[-1])
+
+        if self.adapter_type == "resize":
+            return FourScaleAdapter(
+                out_channels_per_scale=(self.adapter_channels,) * 4,
+                in_channels_per_scale=(self.embed_dim,) * 4,
+                dtype=self.dtype, name="adapter",
+            )(raw, (x.shape[1], x.shape[2]))
+
+        if self.adapter_type != "spm_interaction":
+            raise ValueError(f"Unsupported adapter_type: {self.adapter_type}")
+
+        ch = self.adapter_channels
+        pyramid = SpatialPyramidModule(
+            out_channels_per_scale=(ch,) * 4,
+            stem_channels=self.spm_stem_channels, dtype=self.dtype,
+            name="spm")(x.astype(self.dtype))
+
+        mapping = (list(self.vit_layer_mapping)
+                   if self.vit_layer_mapping is not None else [0, 1, 2, 3])
+        fused = []
+        for i, cnn_feat in enumerate(pyramid):
+            vit_idx = min(mapping[i], len(raw) - 1)
+            vit_feat = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
+                               name=f"vit_proj{i}")(raw[vit_idx])
+            fused.append(InteractionBlock(
+                channels=ch, num_heads=self.interaction_heads,
+                num_points=self.interaction_points,
+                offset_range=self.interaction_offset_range,
+                dtype=self.dtype, name=f"interaction{i}",
+            )(cnn_feat, vit_feat))
+        return fused
+
+
+_VIT_VARIANTS = {
+    "vit_t": dict(embed_dim=192, depth=12, num_heads=3),
+    "vit_s": dict(embed_dim=384, depth=12, num_heads=6),
+    "vit_b": dict(embed_dim=768, depth=12, num_heads=12),
+    "vit_l": dict(embed_dim=1024, depth=24, num_heads=16,
+                  out_indices=(5, 11, 17, 23)),
+    "vit_nano": dict(embed_dim=64, depth=4, num_heads=2,
+                     out_indices=(0, 1, 2, 3)),  # test-size
+}
+
+
+def build_vit_encoder(name: str, config, dtype=jnp.float32
+                      ) -> ViTMultiScaleEncoder:
+    """Dispatch for vit_*/dinov3/timm: encoder names
+    (reference encoders.py:693-746)."""
+    enc_cfg = (config.get("model.encoder", {}) or {}) if config else {}
+    adapter_cfg = enc_cfg.get("adapter", {}) or {}
+
+    is_dino = name.startswith("dinov3") or "dinov3" in name
+    if name.startswith("timm:"):
+        name_body = name[len("timm:"):]
+        is_dino = "dinov3" in name_body
+        # map timm names onto the closest from-scratch variant by size
+        if "large" in name_body:
+            variant = "vit_l"
+        elif "small" in name_body:
+            variant = "vit_s"
+        elif "tiny" in name_body:
+            variant = "vit_t"
+        else:
+            variant = "vit_b"
+    elif is_dino:
+        timm_name = str(enc_cfg.get("timm_name", ""))
+        variant = "vit_l" if "large" in timm_name else "vit_b"
+    else:
+        variant = name
+    if variant not in _VIT_VARIANTS:
+        raise ValueError(f"Unknown ViT variant {variant!r}")
+
+    kwargs = dict(_VIT_VARIANTS[variant])
+    out_indices = enc_cfg.get("out_indices")
+    if out_indices is not None:
+        kwargs["out_indices"] = tuple(out_indices)
+
+    patch_size = 16
+    timm_name = str(enc_cfg.get("timm_name", "") or "")
+    if "patch8" in timm_name or "patch8" in name:
+        patch_size = 8
+    elif "patch14" in timm_name or "patch14" in name:
+        patch_size = 14
+
+    adapter_type = str(adapter_cfg.get("type", "resize")) if is_dino else "resize"
+    adapter_channels = int(
+        adapter_cfg.get("channels", enc_cfg.get("adapter_channels", 256)))
+
+    return ViTMultiScaleEncoder(
+        patch_size=patch_size,
+        adapter_type=adapter_type,
+        adapter_channels=adapter_channels,
+        spm_stem_channels=int(adapter_cfg.get("spm_stem_channels", 64)),
+        interaction_heads=int(adapter_cfg.get("interaction_heads", 8)),
+        interaction_points=int(adapter_cfg.get("interaction_points", 4)),
+        interaction_offset_range=float(
+            adapter_cfg.get("interaction_offset_range", 0.25)),
+        vit_layer_mapping=enc_cfg.get("vit_layer_mapping"),
+        dtype=dtype,
+        **kwargs,
+    )

@@ -1,0 +1,15 @@
+from fmc_uia_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    batch_sharding,
+    replicated_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "batch_sharding",
+    "replicated_sharding",
+]

@@ -55,13 +55,26 @@ class TrainState(struct.PyTreeNode):
 # --------------------------------------------------------------------------
 # Optimizer
 # --------------------------------------------------------------------------
-def label_params(params: Dict, freeze_encoder: bool = False) -> Dict:
-    """Path-based param labels: encoder / head / adaptive / frozen."""
+def label_params(params: Dict, freeze_encoder: bool = False,
+                 freeze_backbone: bool = False) -> Dict:
+    """Path-based param labels: encoder / head / adaptive / frozen.
+
+    ``freeze_backbone`` freezes only ``encoder/backbone`` (the reference's
+    ``freeze_dino`` mode, encoders.py:535-539: DINO backbone frozen, SPM /
+    interaction adapter still trains)."""
 
     def label_model(path_key):
-        top = path_key[0].key if hasattr(path_key[0], "key") else path_key[0]
+        def name(k):
+            return k.key if hasattr(k, "key") else str(k)
+
+        top = name(path_key[0])
         if top == "encoder":
-            return "frozen" if freeze_encoder else "encoder"
+            if freeze_encoder:
+                return "frozen"
+            if freeze_backbone and len(path_key) > 1 and (
+                    name(path_key[1]) == "backbone"):
+                return "frozen"
+            return "encoder"
         return "head"
 
     labels = {}
@@ -112,7 +125,9 @@ def build_optimizer(config, params) -> optax.GradientTransformation:
         raise ValueError(f"Unknown optimizer type: {opt_type}")
 
     freeze = bool(config.get("model.encoder.freeze_encoder", False))
-    labels = label_params(params, freeze_encoder=freeze)
+    freeze_backbone = bool(config.get("model.encoder.freeze_dino", False))
+    labels = label_params(params, freeze_encoder=freeze,
+                          freeze_backbone=freeze_backbone)
     return optax.multi_transform(
         {
             "encoder": group(enc_mult),

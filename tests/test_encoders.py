@@ -1,0 +1,134 @@
+"""Encoder family tests: Swin, ViT (+adapters), grid sampling parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from fmc_uia_tpu.models.encoders.swin import SwinEncoder, build_swin
+from fmc_uia_tpu.models.encoders.vit import ViTMultiScaleEncoder
+from fmc_uia_tpu.ops.sampling import grid_sample_bilinear
+from tests.helpers import make_tiny_config
+
+
+def _check_pyramid(features, B, S, channels):
+    assert len(features) == 4
+    for i, (f, c) in enumerate(zip(features, channels)):
+        stride = 4 * (2**i)
+        assert f.shape == (B, S // stride, S // stride, c), (i, f.shape)
+
+
+def test_swin_nano_divisible():
+    """Window 4 on a 64^2 input: every stage grid divides the window —
+    pure no-padding path (input must be stride-32 divisible, same contract
+    as the reference's timm-Swin + SMP-FPN stack)."""
+    enc = SwinEncoder(embed_dim=32, depths=(1, 1, 1, 1),
+                      num_heads=(2, 2, 4, 4), window_size=4,
+                      drop_path_rate=0.0)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(variables, x)
+    _check_pyramid(feats, 2, 64, enc.out_channels)
+
+
+def test_swin_nano_padded_windows():
+    """64/4 = 16, 16 % 7 != 0: exercises pad + shift-mask path."""
+    enc = build_swin("swin_nano", None)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(variables, x)
+    _check_pyramid(feats, 1, 64, enc.out_channels)
+    for f in feats:
+        assert np.isfinite(np.asarray(f)).all()
+
+
+def test_swin_b_config():
+    enc = build_swin("swin_b", make_tiny_config())
+    assert enc.embed_dim == 128
+    assert enc.depths == (2, 2, 18, 2)
+    assert enc.out_channels == (128, 256, 512, 1024)
+
+
+def test_swin_shift_changes_output():
+    """Shifted vs non-shifted window masks produce different programs —
+    check gradient flows and output is deterministic."""
+    enc = SwinEncoder(embed_dim=32, depths=(2,), num_heads=(2,),
+                      window_size=4, drop_path_rate=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    f1 = enc.apply(variables, x)
+    f2 = enc.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(f1[0]), np.asarray(f2[0]))
+
+
+def test_vit_resize_adapter():
+    enc = ViTMultiScaleEncoder(
+        embed_dim=64, depth=4, num_heads=2, patch_size=16,
+        out_indices=(0, 1, 2, 3), adapter_type="resize",
+        adapter_channels=48)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(variables, x)
+    _check_pyramid(feats, 2, 64, (48, 48, 48, 48))
+
+
+def test_vit_spm_interaction_adapter():
+    enc = ViTMultiScaleEncoder(
+        embed_dim=64, depth=4, num_heads=2, patch_size=16,
+        out_indices=(0, 1, 2, 3), adapter_type="spm_interaction",
+        adapter_channels=32, spm_stem_channels=16,
+        interaction_heads=4, interaction_points=2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(variables, x)
+    _check_pyramid(feats, 1, 64, (32, 32, 32, 32))
+    for f in feats:
+        assert np.isfinite(np.asarray(f)).all()
+
+
+def test_grid_sample_matches_torch():
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 7, 9, 3).astype(np.float32)
+    coords = rng.uniform(-1.3, 1.3, (2, 5, 6, 2)).astype(np.float32)
+
+    ours = np.asarray(grid_sample_bilinear(jnp.asarray(img),
+                                           jnp.asarray(coords)))
+    ref = F.grid_sample(
+        torch.tensor(img).permute(0, 3, 1, 2),
+        torch.tensor(coords),
+        mode="bilinear", padding_mode="zeros", align_corners=False,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_encoder_dispatch():
+    from fmc_uia_tpu.models.encoders import build_encoder
+    cfg = make_tiny_config(model={"encoder": {"name": "swin_nano"}})
+    assert isinstance(build_encoder(cfg), SwinEncoder)
+    cfg = make_tiny_config(model={"encoder": {"name": "vit_nano"}})
+    assert isinstance(build_encoder(cfg), ViTMultiScaleEncoder)
+    cfg = make_tiny_config(model={"encoder": {
+        "name": "dinov3", "timm_name": "vit_large_patch16_dinov3",
+        "out_indices": [0, 1, 2, 3],
+        "adapter": {"type": "spm_interaction", "channels": 64},
+    }})
+    enc = build_encoder(cfg)
+    assert enc.adapter_type == "spm_interaction"
+    assert enc.embed_dim == 1024
+    with pytest.raises(ValueError):
+        build_encoder(make_tiny_config(model={"encoder": {"name": "nope"}}))
+
+
+def test_freeze_dino_labels():
+    from fmc_uia_tpu.train import label_params
+    params = {"model": {
+        "encoder": {"backbone": {"w": np.zeros(1)},
+                     "adapter": {"w": np.zeros(1)}},
+        "fpn_seg": {"w": np.zeros(1)},
+    }}
+    labels = label_params(params, freeze_backbone=True)
+    assert labels["model"]["encoder"]["backbone"]["w"] == "frozen"
+    assert labels["model"]["encoder"]["adapter"]["w"] == "encoder"
+    assert labels["model"]["fpn_seg"]["w"] == "head"
