@@ -1,0 +1,145 @@
+"""Benchmark harness: multi-task training throughput on TPU.
+
+Measures steady-state images/sec/chip for the BASELINE.json headline config:
+swin_b encoder, 512^2 inputs, full 27-task universe, task-uniform round-robin
+batches, bf16 compute — the complete compiled train step (device photometric
+augmentation + forward + CenterNet target synthesis + loss + backward + AdamW)
+with donated state.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+denominator is an ESTIMATED PyTorch swin_b 512^2 single-A100 training
+throughput of 75 img/s (to be replaced by a measured number when A100 time
+is available). The driver-supplied target is 4x that estimate.
+
+Env knobs: BENCH_ENCODER, BENCH_IMAGE_SIZE, BENCH_BATCH, BENCH_STEPS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_A100_IPS_ESTIMATE = 75.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_bench(encoder: str, image_size: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from fmc_uia_tpu.config import load_config
+    from fmc_uia_tpu.models import build_model
+    from fmc_uia_tpu.models.multitask import init_variables
+    from fmc_uia_tpu.tasks import TaskRegistry
+    from fmc_uia_tpu.train import Trainer
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "configs",
+                                   "config.yaml"))
+    cfg.config["data"]["image_size"] = image_size
+    cfg.config["data"]["batch_size"] = batch
+    cfg.config["model"]["encoder"]["name"] = encoder
+    cfg.config["device"]["mixed_precision"] = True
+    cfg._set_attributes()
+
+    registry = TaskRegistry.from_config(cfg)
+    model = build_model(cfg, registry)
+    log(f"init: {encoder} @ {image_size}^2, batch={batch}, "
+        f"{len(registry)} tasks, backend={jax.default_backend()}")
+    variables = init_variables(model, jax.random.PRNGKey(0), image_size, 1)
+    trainer = Trainer(cfg, model, registry, variables["params"],
+                      jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    S = image_size
+    B = batch
+
+    def batch_for(ttype):
+        image = rng.randint(0, 255, (B, S, S, 3)).astype(np.uint8)
+        if ttype == "segmentation":
+            label = rng.randint(0, 2, (B, S, S)).astype(np.int32)
+            tid = "T2A_fetal_abdomen"
+        elif ttype == "classification":
+            label = rng.randint(0, 2, (B,)).astype(np.int32)
+            tid = "T3A_breast_tumor"
+        elif ttype == "detection":
+            x1 = rng.uniform(0.1, 0.5, (B, 1))
+            y1 = rng.uniform(0.1, 0.5, (B, 1))
+            label = np.concatenate(
+                [x1, y1, x1 + 0.3, y1 + 0.3], axis=1).astype(np.float32)
+            tid = "T4A_fetal_brain"
+        else:
+            label = rng.rand(B, 8).astype(np.float32)
+            tid = "T5_fetal_femur"
+        spec = registry[tid]
+        return {"image": image, "label": label, "task_id": tid,
+                "task_index": spec.global_index, "task_type": ttype}
+
+    batches = {t: batch_for(t) for t in registry.present_types()}
+    return trainer, batches, registry
+
+
+def run_benchmark(encoder, image_size, batch, steps):
+    import jax
+
+    trainer, batches, registry = build_bench(encoder, image_size, batch)
+    types = list(batches)
+
+    # warmup: compile all 4 programs
+    for t in types:
+        t0 = time.time()
+        logs = trainer.train_batch(batches[t], epoch=0)
+        jax.block_until_ready(logs["total_loss"])
+        log(f"compile+first-step [{t}]: {time.time() - t0:.1f}s")
+
+    # steady-state: uniform round-robin like the training sampler
+    sched = np.random.RandomState(42)
+    order = [types[sched.randint(len(types))] for _ in range(steps)]
+    t0 = time.time()
+    for t in order:
+        trainer.train_batch(batches[t], epoch=0)
+    jax.block_until_ready(trainer.state.step)
+    elapsed = time.time() - t0
+    ips = steps * batch / elapsed
+    log(f"{steps} steps x batch {batch} in {elapsed:.2f}s -> "
+        f"{ips:.2f} img/s")
+    return ips
+
+
+def main():
+    encoder = os.environ.get("BENCH_ENCODER", "swin_b")
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    batch_env = os.environ.get("BENCH_BATCH")
+    candidates = ([int(batch_env)] if batch_env else [32, 16, 8, 4])
+
+    ips = None
+    for batch in candidates:
+        try:
+            ips = run_benchmark(encoder, image_size, batch, steps)
+            break
+        except Exception as e:  # OOM -> retry smaller batch
+            msg = str(e)
+            log(f"batch {batch} failed: {type(e).__name__}: {msg[:300]}")
+            if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
+                raise
+    if ips is None:
+        raise RuntimeError("all batch sizes failed")
+
+    print(json.dumps({
+        "metric": f"{encoder} {image_size}^2 27-task train throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / REFERENCE_A100_IPS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

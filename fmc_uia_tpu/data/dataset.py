@@ -167,7 +167,10 @@ class MultiTaskDataset:
                 label = _resize_mask(mask, S).astype(np.int32)
 
         elif task_name == "classification":
-            label = np.int32(record["mask"])
+            # class id lives in the 'mask' column (reference dataset.py:74);
+            # absent at inference time -> -1 sentinel
+            raw = record.get("mask") if hasattr(record, "get") else None
+            label = np.int32(raw) if raw is not None and pd.notna(raw) else np.int32(-1)
 
         elif task_name == "Regression":
             num_points = int(record["num_classes"])

@@ -1,0 +1,233 @@
+"""Top-level training entry: the full config-driven fit loop.
+
+Equivalent of the reference's ``main()`` (reference train.py:516-788):
+config -> seed -> logger -> data engines (dataset-derived tasks) -> model ->
+losses/optimizer/scheduler -> epoch loop (train, validate, score, best-model
+save, periodic checkpoint) -> final summary -> best-model train-set
+evaluation -> plots.
+
+Additions over the reference: true resume-from-checkpoint, optional
+data-parallel mesh, bf16 default.
+
+CLI: ``python -m fmc_uia_tpu --config configs/config.yaml [--resume]``.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from fmc_uia_tpu import checkpoint as ckpt_lib
+from fmc_uia_tpu.config import load_config
+from fmc_uia_tpu.data.pipeline import build_data_engines
+from fmc_uia_tpu.metrics import average_validation_score, evaluate
+from fmc_uia_tpu.models import build_model
+from fmc_uia_tpu.models.multitask import init_variables
+from fmc_uia_tpu.train import Trainer
+from fmc_uia_tpu.utils.common import count_parameters, set_seed
+from fmc_uia_tpu.utils.logger import (
+    TrainingLogger,
+    plot_comprehensive_training_curves,
+    plot_training_curves,
+)
+
+
+def _train_epoch(trainer: Trainer, train_engine, epoch: int,
+                 print_freq: int) -> Dict:
+    """One epoch; returns (per-task losses, adaptive weights, moe stats)."""
+    epoch_losses = defaultdict(list)
+    epoch_weights = defaultdict(list)
+    moe_task_stats: Dict = {}
+    moe_group_stats: Dict = {}
+
+    def upd_moe(stats_dict, key, task_name, importance, load, aux):
+        entry = stats_dict.setdefault(key, {
+            "task_name": task_name,
+            "importance_sum": np.zeros_like(importance),
+            "load_sum": np.zeros_like(load),
+            "count": 0, "aux_sum": 0.0, "aux_count": 0,
+        })
+        entry["importance_sum"] = entry["importance_sum"] + importance
+        entry["load_sum"] = entry["load_sum"] + load
+        entry["count"] += 1
+        if aux is not None:
+            entry["aux_sum"] += float(aux)
+            entry["aux_count"] += 1
+
+    for batch_idx, batch in enumerate(train_engine):
+        logs = trainer.train_batch(batch, epoch)
+        tid = batch["task_id"]
+        ttype = batch["task_type"]
+        epoch_losses[tid].append(float(logs["total_loss"]))
+        if "task_weight" in logs:
+            epoch_weights[ttype].append(float(logs["task_weight"]))
+        if "moe_importance" in logs:
+            imp = np.asarray(logs["moe_importance"])
+            load = np.asarray(logs["moe_load"])
+            aux = logs.get("moe_aux")
+            upd_moe(moe_task_stats, tid, ttype, imp, load, aux)
+            upd_moe(moe_group_stats, ttype, ttype, imp, load, aux)
+
+        if print_freq > 0 and (batch_idx + 1) % print_freq == 0:
+            avg = float(np.mean(epoch_losses[tid]))
+            print(f"  Batch [{batch_idx + 1}/{len(train_engine)}] | "
+                  f"Task: {tid} | Loss: {avg:.4f}")
+
+    def finalize(stats_dict):
+        out = {}
+        for key, e in stats_dict.items():
+            if e["count"] == 0:
+                continue
+            rec = {
+                "task_name": e["task_name"],
+                "importance": (e["importance_sum"] / e["count"]).tolist(),
+                "load": (e["load_sum"] / e["count"]).tolist(),
+            }
+            if e["aux_count"]:
+                rec["aux_loss"] = e["aux_sum"] / e["aux_count"]
+            out[key] = rec
+        return out
+
+    moe_stats = None
+    if moe_task_stats:
+        moe_stats = {"by_task_id": finalize(moe_task_stats),
+                     "by_task_name": finalize(moe_group_stats)}
+    return dict(epoch_losses), dict(epoch_weights), moe_stats
+
+
+def fit(config_path: Optional[str] = None, config=None,
+        resume: bool = False, mesh=None) -> Dict:
+    """Run full training; returns a result summary dict."""
+    if config is None:
+        config = load_config(config_path)
+    rng = set_seed(config.seed)
+
+    logger = TrainingLogger(config.output_dir, config.exp_name)
+    logger.save_config(config.config)
+
+    train_engine, val_engine, registry = build_data_engines(config)
+    model = build_model(config, registry)
+    variables = init_variables(model, jax.random.PRNGKey(config.seed),
+                               config.image_size, 1)
+    print(f"Model parameters: {count_parameters(variables['params']):,}")
+
+    trainer = Trainer(config, model, registry, variables["params"], rng,
+                      mesh=mesh)
+
+    mean = config.get("data.augmentation.normalize.mean")
+    std = config.get("data.augmentation.normalize.std")
+    ckpt_dir = logger.get_experiment_dir()
+
+    start_epoch = 0
+    best_val_score = -float("inf")
+    best_epoch = 0
+
+    if resume:
+        found = ckpt_lib.latest_checkpoint(config.output_dir)
+        if found:
+            path, meta = found
+            trainer.state = ckpt_lib.restore_checkpoint(path, trainer.state)
+            start_epoch = meta["epoch"]
+            best_val_score = meta["best_score"]
+            for _ in range(start_epoch):
+                trainer.scheduler.step()
+            print(f"Resumed from {path} at epoch {start_epoch}")
+
+    print_freq = int(config.get("training.print_freq", 50) or 0)
+    save_ckpts = bool(config.get("experiment.save_checkpoints", True))
+    ckpt_freq = int(config.get("experiment.checkpoint_freq", 5))
+
+    for epoch in range(start_epoch, config.num_epochs):
+        t0 = time.time()
+        print(f"\nEpoch [{epoch + 1}/{config.num_epochs}]")
+        epoch_losses, epoch_weights, moe_stats = _train_epoch(
+            trainer, train_engine, epoch, print_freq)
+
+        for tid in sorted(epoch_losses):
+            print(f"  {tid:<30}: {np.mean(epoch_losses[tid]):.4f}")
+
+        val_df = evaluate(model, trainer.model_params, val_engine, registry,
+                          mean, std)
+        avg_val_score = average_validation_score(val_df)
+        if not val_df.empty:
+            print(val_df.to_string(index=False))
+        print(f"--- Average Validation Score: {avg_val_score:.4f} ---")
+
+        epoch_time = time.time() - t0
+        logger.log_epoch(
+            epoch=epoch + 1,
+            train_losses=epoch_losses,
+            val_results_df=val_df,
+            learning_rate=trainer.scheduler.current_lr(),
+            epoch_time=epoch_time,
+            adaptive_weights=trainer.adaptive_snapshot(),
+            moe_stats=moe_stats,
+        )
+
+        if avg_val_score > best_val_score:
+            best_val_score = avg_val_score
+            best_epoch = epoch + 1
+            ckpt_lib.save_best_params(ckpt_dir, trainer.model_params)
+
+        trainer.scheduler.step(avg_val_score)
+
+        if save_ckpts and (epoch + 1) % ckpt_freq == 0:
+            ckpt_lib.save_checkpoint(ckpt_dir, trainer.state, epoch + 1,
+                                     best_val_score, config.config)
+
+    logger.save_final_summary(best_epoch=best_epoch,
+                              best_score=best_val_score)
+
+    # best-model evaluation on the TRAIN split (reference train.py:733-769)
+    best_eval = None
+    try:
+        best_params = ckpt_lib.load_best_params(
+            ckpt_dir, trainer.model_params)
+        train_eval_engine = type(train_engine)(
+            train_engine.dataset, train_engine.indices, registry,
+            config.batch_size, shuffle_sampler=None,
+            num_workers=config.num_workers, drop_last=False)
+        train_df = evaluate(model, best_params, train_eval_engine, registry,
+                            mean, std)
+        groups = {
+            "classification": ["Accuracy", "F1-Score"],
+            "segmentation": ["Dice"],
+            "detection": ["IoU"],
+            "regression": ["MAE (pixels)"],
+        }
+        best_eval = {}
+        for gname, metrics in groups.items():
+            vals = {m: [] for m in metrics}
+            for _, row in train_df.iterrows():
+                for m in metrics:
+                    if m in row and not np.isnan(row.get(m, np.nan)):
+                        vals[m].append(float(row[m]))
+            means = {m: (float(np.mean(v)) if v else None)
+                     for m, v in vals.items()}
+            if gname == "classification":
+                best_eval[gname] = means
+            else:
+                best_eval[gname] = next(
+                    (v for v in means.values() if v is not None), None)
+    except Exception as e:  # pragma: no cover - best model may not exist
+        print(f"Best-model evaluation skipped: {e}")
+    logger.save_best_model_summary(best_eval)
+
+    try:
+        plot_training_curves(logger.get_experiment_dir())
+        plot_comprehensive_training_curves(logger.get_experiment_dir())
+    except Exception as e:  # pragma: no cover
+        print(f"Could not generate training curves plot: {e}")
+
+    print(f"\nTraining complete. Best score {best_val_score:.4f} "
+          f"(epoch {best_epoch}). Logs: {logger.get_experiment_dir()}")
+    return {
+        "best_score": best_val_score,
+        "best_epoch": best_epoch,
+        "experiment_dir": str(logger.get_experiment_dir()),
+        "best_eval_on_train": best_eval,
+    }

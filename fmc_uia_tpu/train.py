@@ -210,23 +210,28 @@ def _clip_by_global_norm(tree, max_norm: float):
     return jax.tree_util.tree_map(lambda x: x * scale, tree), gnorm
 
 
-def _sum_intermediates(inter, key_substr: str):
-    total = jnp.asarray(0.0, jnp.float32)
-    count = 0
+def _collect_intermediates(inter, key_substr: str):
+    """All leaves sown under keys containing ``key_substr``."""
+    found = []
 
-    def visit(node, path=""):
-        nonlocal total, count
+    def visit(node):
         if isinstance(node, dict):
             for k, v in node.items():
                 if key_substr in str(k):
-                    for leaf in jax.tree_util.tree_leaves(v):
-                        total = total + jnp.asarray(leaf, jnp.float32)
-                        count += 1
+                    found.extend(jax.tree_util.tree_leaves(v))
                 else:
-                    visit(v, path + "/" + str(k))
+                    visit(v)
 
     visit(inter)
-    return total, count
+    return found
+
+
+def _sum_intermediates(inter, key_substr: str):
+    leaves = _collect_intermediates(inter, key_substr)
+    total = jnp.asarray(0.0, jnp.float32)
+    for leaf in leaves:
+        total = total + jnp.asarray(leaf, jnp.float32)
+    return total, len(leaves)
 
 
 def make_train_step(
@@ -337,12 +342,21 @@ def make_train_step(
                 total = raw_loss * fixed_weight
                 logs["task_weight"] = jnp.asarray(fixed_weight)
 
+            inter = mut.get("intermediates", {})
             if moe_balance_w > 0:
-                moe_aux, n = _sum_intermediates(
-                    mut.get("intermediates", {}), "moe_aux")
+                moe_aux, n = _sum_intermediates(inter, "moe_aux")
                 if n > 0:
                     total = total + moe_balance_w * moe_aux
                     logs["moe_aux"] = moe_aux
+            imp = _collect_intermediates(inter, "moe_importance")
+            if imp:
+                logs["moe_importance"] = jnp.mean(
+                    jnp.stack([jnp.asarray(x, jnp.float32) for x in imp]),
+                    axis=0)
+                load = _collect_intermediates(inter, "moe_load")
+                logs["moe_load"] = jnp.mean(
+                    jnp.stack([jnp.asarray(x, jnp.float32) for x in load]),
+                    axis=0)
             logs["total_loss"] = total
             return total, logs
 
@@ -376,11 +390,15 @@ class Trainer:
     """Holds the 4 compiled steps + optimizer/schedule state."""
 
     def __init__(self, config, model, registry: TaskRegistry,
-                 init_params: Dict, rng: jax.Array):
+                 init_params: Dict, rng: jax.Array, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh for data-parallel training —
+        params/optimizer state are replicated, batches sharded on the data
+        axis, and XLA inserts the gradient all-reduce over ICI."""
         self.config = config
         self.model = model
         self.registry = registry
         self.rng = rng
+        self.mesh = mesh
 
         loss_fns, loss_weights, adaptive_log_vars = (
             losses_lib.build_all_losses(config, registry))
@@ -399,6 +417,10 @@ class Trainer:
             params=params,
             opt_state=self.tx.init(params),
         )
+        if self.mesh is not None:
+            from fmc_uia_tpu.parallel import replicate
+
+            self.state = replicate(self.state, self.mesh)
         self.scheduler = LRScheduler(config)
 
         self.steps = {
@@ -413,10 +435,18 @@ class Trainer:
             0.0 if (self.use_adaptive and epoch < self.adaptive_warmup)
             else 1.0, jnp.float32)
         lr = jnp.asarray(self.scheduler.current_lr(), jnp.float32)
+        images = jnp.asarray(batch["image"])
+        labels = jnp.asarray(batch["label"])
+        if self.mesh is not None:
+            from fmc_uia_tpu.parallel import batch_sharding
+
+            bs = batch_sharding(self.mesh)
+            images = jax.device_put(images, bs)
+            labels = jax.device_put(labels, bs)
         self.state, logs = self.steps[task_type](
             self.state,
-            jnp.asarray(batch["image"]),
-            jnp.asarray(batch["label"]),
+            images,
+            labels,
             jnp.asarray(batch["task_index"], jnp.int32),
             lr,
             adaptive_enable,

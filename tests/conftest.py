@@ -23,6 +23,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon PJRT plugin (sitecustomize) force-registers the TPU backend and
+# overrides JAX_PLATFORMS; pin the config explicitly so tests run on the
+# virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
