@@ -89,6 +89,100 @@ def _resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
 INVALID_BOX = np.array([-1.0, -1.0, -1.0, -1.0], dtype=np.float32)
 
 
+def to_grayscale_3ch(image: np.ndarray) -> np.ndarray:
+    """Luminance conversion + 3-channel replication.
+
+    Unifies B-mode and colormap-rendered ultrasound frames (the reference's
+    experimental loader does this unconditionally,
+    new_dataloader.py:189-196)."""
+    if image.ndim == 3 and image.shape[2] == 3:
+        if _HAS_CV2:
+            gray = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)
+        else:  # pragma: no cover
+            gray = np.dot(image[..., :3],
+                          [0.299, 0.587, 0.114]).astype(image.dtype)
+    else:
+        gray = image
+    return np.stack([gray] * 3, axis=-1)
+
+
+def detect_valid_mask(image: np.ndarray, bg_threshold="auto") -> np.ndarray:
+    """Valid-region (non-background) detection for ultrasound frames.
+
+    Same strategy as reference new_dataloader.py:71-122: threshold (fixed /
+    Otsu-derived / gaussian-adaptive) + morphological close/open cleanup,
+    with a >=10%-coverage safety fallback.
+    """
+    gray = image[:, :, 0]
+    if gray.dtype != np.uint8:
+        gray = (np.clip(gray, 0, 1) * 255).astype(np.uint8)
+
+    mask = None
+    if bg_threshold == "auto":
+        if _HAS_CV2:
+            rough = gray > 5
+            if rough.sum() > 0:
+                otsu_thresh, _ = cv2.threshold(
+                    gray, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+                threshold_val = max(otsu_thresh * 0.5, 10)
+            else:
+                threshold_val = 10
+        else:  # pragma: no cover - histogram Otsu fallback
+            hist, _ = np.histogram(gray, bins=256, range=(0, 256))
+            total = hist.sum()
+            best_t, best_var = 10, -1.0
+            cum, cum_mean = 0.0, 0.0
+            global_mean = (np.arange(256) * hist).sum() / max(total, 1)
+            for t in range(256):
+                cum += hist[t]
+                cum_mean += t * hist[t]
+                if cum == 0 or cum == total:
+                    continue
+                w0 = cum / total
+                m0 = cum_mean / cum
+                m1 = (global_mean * total - cum_mean) / (total - cum)
+                var = w0 * (1 - w0) * (m0 - m1) ** 2
+                if var > best_var:
+                    best_var, best_t = var, t
+            threshold_val = max(best_t * 0.5, 10)
+        mask = gray > threshold_val
+    elif bg_threshold == "adaptive":
+        if _HAS_CV2:
+            mask = cv2.adaptiveThreshold(
+                gray, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+                cv2.THRESH_BINARY, 51, -10) > 0
+        else:  # pragma: no cover
+            mask = gray > max(10, gray.mean())
+    else:
+        mask = gray > float(bg_threshold)
+
+    if _HAS_CV2:
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
+        m = cv2.morphologyEx(mask.astype(np.uint8), cv2.MORPH_CLOSE, kernel)
+        m = cv2.morphologyEx(m, cv2.MORPH_OPEN, kernel)
+        mask = m.astype(bool)
+
+    if mask.sum() < mask.size * 0.1:
+        mask = gray > 5
+    return mask.astype(bool)
+
+
+def adaptive_normalize(image: np.ndarray, bg_threshold="auto") -> np.ndarray:
+    """Per-image standardization on the valid region only; background
+    stays 0 (reference new_dataloader.py:124-160)."""
+    valid = detect_valid_mask(image, bg_threshold)
+    out = image.astype(np.float32) / 255.0
+    if valid.sum() > 0:
+        for c in range(out.shape[2]):
+            pixels = out[:, :, c][valid]
+            mean = pixels.mean()
+            std = pixels.std()
+            if std < 1e-6:
+                std = 1.0
+            out[:, :, c][valid] = (pixels - mean) / std
+    return out
+
+
 class MultiTaskDataset:
     """Index of all task CSVs with per-item load/resize.
 
@@ -100,9 +194,15 @@ class MultiTaskDataset:
     """
 
     def __init__(self, data_root: str, image_size: int = 224,
-                 max_reg_points: Optional[int] = None):
+                 max_reg_points: Optional[int] = None,
+                 force_grayscale: bool = False,
+                 use_adaptive_norm: bool = False,
+                 bg_threshold="auto"):
         self.data_root = data_root
         self.image_size = int(image_size)
+        self.force_grayscale = bool(force_grayscale)
+        self.use_adaptive_norm = bool(use_adaptive_norm)
+        self.bg_threshold = bg_threshold
         self.csv_path = os.path.join(data_root, "csv_files")
         if not os.path.isdir(self.csv_path):
             raise FileNotFoundError(f"CSV path not found: {self.csv_path}")
@@ -152,6 +252,10 @@ class MultiTaskDataset:
         if image is None:
             # skip-corrupt-image retry (reference dataset.py:49-52)
             return self[(idx + 1) % len(self)]
+        if self.force_grayscale or self.use_adaptive_norm:
+            image = to_grayscale_3ch(image)
+        if self.use_adaptive_norm:
+            image = adaptive_normalize(image, self.bg_threshold)
         orig_h, orig_w = image.shape[:2]
         image = _resize_image(image, S)
 

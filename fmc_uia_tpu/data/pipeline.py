@@ -46,7 +46,9 @@ def _collate(samples: Sequence[Dict], registry: TaskRegistry) -> Dict:
     """Stack one single-task batch into fixed-shape arrays."""
     task_id = samples[0]["task_id"]
     spec = registry[task_id]
-    images = np.stack([s["image"] for s in samples]).astype(np.uint8)
+    images = np.stack([s["image"] for s in samples])
+    if images.dtype != np.float32:  # adaptive-norm path yields float32
+        images = images.astype(np.uint8)
     labels = np.stack([s["label"] for s in samples])
     return {
         "image": images,
@@ -150,7 +152,12 @@ def build_data_engines(config, registry: Optional[TaskRegistry] = None
     """Build train/val engines from config (reference build_dataloaders,
     train.py:31-173, incl. the single-task filter and dataset-derived task
     override)."""
-    dataset = MultiTaskDataset(config.data_root, image_size=config.image_size)
+    dataset = MultiTaskDataset(
+        config.data_root, image_size=config.image_size,
+        force_grayscale=bool(config.get("data.force_grayscale", False)),
+        use_adaptive_norm=bool(config.get("data.use_adaptive_norm", False)),
+        bg_threshold=config.get("data.bg_threshold", "auto"),
+    )
 
     task_configs = dataset.derive_task_configs()
 

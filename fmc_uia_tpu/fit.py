@@ -27,6 +27,7 @@ from fmc_uia_tpu.data.pipeline import build_data_engines
 from fmc_uia_tpu.metrics import average_validation_score, evaluate
 from fmc_uia_tpu.models import build_model
 from fmc_uia_tpu.models.multitask import init_variables
+from fmc_uia_tpu.ops.image import input_prep_fns
 from fmc_uia_tpu.train import Trainer
 from fmc_uia_tpu.utils.common import count_parameters, set_seed
 from fmc_uia_tpu.utils.logger import (
@@ -120,6 +121,7 @@ def fit(config_path: Optional[str] = None, config=None,
 
     mean = config.get("data.augmentation.normalize.mean")
     std = config.get("data.augmentation.normalize.std")
+    eval_prep = input_prep_fns(config)[1]
     ckpt_dir = logger.get_experiment_dir()
 
     start_epoch = 0
@@ -151,7 +153,7 @@ def fit(config_path: Optional[str] = None, config=None,
             print(f"  {tid:<30}: {np.mean(epoch_losses[tid]):.4f}")
 
         val_df = evaluate(model, trainer.model_params, val_engine, registry,
-                          mean, std)
+                          mean, std, prep=eval_prep)
         avg_val_score = average_validation_score(val_df)
         if not val_df.empty:
             print(val_df.to_string(index=False))
@@ -192,7 +194,7 @@ def fit(config_path: Optional[str] = None, config=None,
             config.batch_size, shuffle_sampler=None,
             num_workers=config.num_workers, drop_last=False)
         train_df = evaluate(model, best_params, train_eval_engine, registry,
-                            mean, std)
+                            mean, std, prep=eval_prep)
         groups = {
             "classification": ["Accuracy", "F1-Score"],
             "segmentation": ["Dice"],

@@ -113,15 +113,20 @@ def macro_f1_host(y_true: np.ndarray, y_pred: np.ndarray) -> float:
 # evaluation loop
 # --------------------------------------------------------------------------
 def make_eval_steps(model, variables_treedef_params, registry: TaskRegistry,
-                    mean, std, detection_is_centernet: bool = True):
+                    mean, std, detection_is_centernet: bool = True,
+                    prep=None):
     """Build one jitted eval step per present task type.
 
-    Each step: normalize -> forward (eval mode) -> per-batch stats.
+    Each step: normalize (or custom ``prep``) -> forward (eval mode) ->
+    per-batch stats.
     """
     nc_table = jnp.asarray(registry.num_classes_table)
 
-    def _prep(images):
-        return normalize_images(images, mean, std, dtype=jnp.float32)
+    if prep is not None:
+        _prep = prep
+    else:
+        def _prep(images):
+            return normalize_images(images, mean, std, dtype=jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=())
     def seg_step(params, images, labels, task_index):
@@ -171,11 +176,11 @@ def make_eval_steps(model, variables_treedef_params, registry: TaskRegistry,
     }
 
 
-def evaluate(model, params, val_engine, registry: TaskRegistry, mean, std
-             ) -> pd.DataFrame:
+def evaluate(model, params, val_engine, registry: TaskRegistry, mean, std,
+             prep=None) -> pd.DataFrame:
     """Validation loop -> per-task metric DataFrame
     (reference evaluate(), metrics/__init__.py:72-184)."""
-    steps = make_eval_steps(model, None, registry, mean, std)
+    steps = make_eval_steps(model, None, registry, mean, std, prep=prep)
     task_metrics: Dict[str, Dict[str, list]] = defaultdict(
         lambda: defaultdict(list))
 

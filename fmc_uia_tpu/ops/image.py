@@ -85,6 +85,43 @@ def random_gauss_noise(
     return jnp.clip(x + noise * scale, 0.0, 255.0)
 
 
+def input_prep_fns(config, compute_dtype=jnp.float32):
+    """Build (train_prep(key, images), eval_prep(images)) from config.
+
+    Standard path: device photometric augmentation + dataset-stats
+    normalization. Adaptive-norm path (data.use_adaptive_norm, the
+    reference's experimental new_dataloader variant): images arrive already
+    per-image standardized from the host — pass through unchanged (the
+    reference likewise warns against stacking A.Normalize on top,
+    new_dataloader.py:45-66).
+    """
+    if config.get("data.use_adaptive_norm", False):
+        def train_prep(key, images):
+            del key
+            return images.astype(compute_dtype)
+
+        def eval_prep(images):
+            return images.astype(compute_dtype)
+
+        return train_prep, eval_prep
+
+    mean = config.get("data.augmentation.normalize.mean")
+    std = config.get("data.augmentation.normalize.std")
+    aug = config.get_augmentation_config("train") or {}
+    bc_p = float(aug.get("random_brightness_contrast", 0.2))
+    noise_p = float(aug.get("gauss_noise", 0.1))
+
+    def train_prep(key, images):
+        return augment_and_normalize(
+            key, images, mean, std, brightness_contrast_p=bc_p,
+            gauss_noise_p=noise_p, train=True, dtype=compute_dtype)
+
+    def eval_prep(images):
+        return normalize_images(images, mean, std, dtype=compute_dtype)
+
+    return train_prep, eval_prep
+
+
 def augment_and_normalize(
     key: Optional[jax.Array],
     images: jax.Array,

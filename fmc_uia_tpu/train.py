@@ -36,7 +36,7 @@ from flax.core import FrozenDict
 
 from fmc_uia_tpu import losses as losses_lib
 from fmc_uia_tpu.ops.centernet import make_centernet_targets
-from fmc_uia_tpu.ops.image import augment_and_normalize
+from fmc_uia_tpu.ops.image import augment_and_normalize, input_prep_fns
 from fmc_uia_tpu.tasks import (
     CLASSIFICATION,
     DETECTION,
@@ -244,12 +244,8 @@ def make_train_step(
     loss_weights: Optional[Dict[str, float]],
 ) -> Callable:
     """Build the jit-compiled train step for one task type."""
-    mean = config.get("data.augmentation.normalize.mean")
-    std = config.get("data.augmentation.normalize.std")
-    aug_cfg = config.get_augmentation_config("train") or {}
-    bc_p = float(aug_cfg.get("random_brightness_contrast", 0.2))
-    noise_p = float(aug_cfg.get("gauss_noise", 0.1))
     compute_dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
+    train_prep, _ = input_prep_fns(config, compute_dtype)
 
     grad_clip = float(config.get("training.gradient_clip", 0) or 0)
     moe_balance_w = float(config.get("model.moe.balance_loss_weight", 0.0))
@@ -320,10 +316,7 @@ def make_train_step(
                    lr: jax.Array, adaptive_enable: jax.Array,
                    rng: jax.Array):
         k_aug, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
-        x = augment_and_normalize(
-            k_aug, images, mean, std,
-            brightness_contrast_p=bc_p, gauss_noise_p=noise_p,
-            train=True, dtype=compute_dtype)
+        x = train_prep(k_aug, images)
 
         def loss_fn(params):
             outputs, mut = model.apply(

@@ -1,0 +1,88 @@
+"""Config presets + dataset variant (grayscale/adaptive-norm) tests."""
+
+import glob
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fmc_uia_tpu.config import Config
+from fmc_uia_tpu.data.dataset import (
+    adaptive_normalize,
+    detect_valid_mask,
+    to_grayscale_3ch,
+)
+from fmc_uia_tpu.models import build_model
+from fmc_uia_tpu.models.encoders import build_encoder
+from fmc_uia_tpu.tasks import TaskRegistry
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+@pytest.mark.parametrize("path", sorted(glob.glob(str(CONFIG_DIR / "*.yaml"))))
+def test_preset_loads_and_builds(path):
+    cfg = Config(path)
+    reg = TaskRegistry.from_config(cfg)
+    assert len(reg) == 27
+    # encoder + model construction succeeds (no param init — cheap)
+    enc = build_encoder(cfg)
+    assert len(enc.out_channels) == 4
+    model = build_model(cfg, reg)
+    assert model is not None
+
+
+def test_grayscale_conversion():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (20, 30, 3)).astype(np.uint8)
+    g = to_grayscale_3ch(img)
+    assert g.shape == (20, 30, 3)
+    np.testing.assert_array_equal(g[..., 0], g[..., 1])
+    np.testing.assert_array_equal(g[..., 1], g[..., 2])
+
+
+def test_valid_mask_detects_background():
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[16:48, 16:48] = 150  # bright center on black background
+    mask = detect_valid_mask(img, "auto")
+    assert mask[32, 32]
+    assert not mask[2, 2]
+    # fixed threshold variant
+    mask2 = detect_valid_mask(img, 50)
+    assert mask2[32, 32] and not mask2[2, 2]
+
+
+def test_adaptive_normalize_semantics():
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[16:48, 16:48] = np.random.RandomState(0).randint(
+        80, 200, (32, 32, 1))
+    out = adaptive_normalize(img, "auto")
+    assert out.dtype == np.float32
+    valid = detect_valid_mask(img, "auto")
+    # valid region standardized
+    assert abs(out[..., 0][valid].mean()) < 1e-4
+    assert abs(out[..., 0][valid].std() - 1.0) < 1e-3
+    # truly black background pixels stay 0 (non-valid bright boundary
+    # pixels keep their raw /255 value, same as the reference)
+    black = img[..., 0] == 0
+    assert np.allclose(out[black & ~valid], 0.0)
+
+
+def test_adaptive_norm_dataset_pipeline(tmp_path):
+    import copy
+
+    from fmc_uia_tpu.data.pipeline import build_data_engines
+    from fmc_uia_tpu.data.synthetic import generate_synthetic_dataset
+    from tests.helpers import TINY_CONFIG
+
+    generate_synthetic_dataset(str(tmp_path), samples_per_task=6, seed=0)
+    cfg_dict = copy.deepcopy(TINY_CONFIG)
+    cfg_dict["data"]["root_path"] = str(tmp_path)
+    cfg_dict["data"]["batch_size"] = 2
+    cfg_dict["data"]["image_size"] = 32
+    cfg_dict["data"]["use_adaptive_norm"] = True
+    cfg_dict["data"]["force_grayscale"] = True
+    cfg_dict["training"]["steps_per_epoch"] = 2
+    cfg = Config(config_dict=cfg_dict)
+    train_engine, _, registry = build_data_engines(cfg)
+    batch = next(iter(train_engine))
+    assert batch["image"].dtype == np.float32
