@@ -47,6 +47,11 @@ def build_bench(encoder: str, image_size: int, batch: int):
     cfg.config["data"]["batch_size"] = batch
     cfg.config["model"]["encoder"]["name"] = encoder
     cfg.config["device"]["mixed_precision"] = True
+    # remat the encoder blocks at high resolution: activations at 512^2
+    # dominate HBM; recompute-in-backward buys batch size.
+    cfg.config["model"]["encoder"]["remat"] = (
+        os.environ.get("BENCH_REMAT", "1" if image_size >= 384 else "0")
+        == "1")
     cfg._set_attributes()
 
     registry = TaskRegistry.from_config(cfg)
@@ -127,8 +132,10 @@ def main():
             break
         except Exception as e:  # OOM -> retry smaller batch
             msg = str(e)
-            log(f"batch {batch} failed: {type(e).__name__}: {msg[:300]}")
-            if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
+            log(f"batch {batch} failed: {type(e).__name__}: {msg[:500]}")
+            oom_markers = ("RESOURCE_EXHAUSTED", "Out of memory",
+                           "Allocation", "exceeds", "OOM", "memory")
+            if not any(m in msg for m in oom_markers):
                 raise
     if ips is None:
         raise RuntimeError("all batch sizes failed")

@@ -107,11 +107,15 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(Bn, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # [Bn, H, N, dh]
+        # Split along the feature axis and reshape head-last — no transposed
+        # 5D copy (a [Bn,N,3,H,dh] transpose materializes with ~2.6x tile
+        # padding on TPU); let XLA fold the head split into the dots.
+        q = qkv[..., :C].reshape(Bn, N, H, dh)
+        k = qkv[..., C : 2 * C].reshape(Bn, N, H, dh)
+        v = qkv[..., 2 * C :].reshape(Bn, N, H, dh)
 
         scale = dh ** -0.5
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
                           preferred_element_type=jnp.float32)
 
         bias_table = self.param(
@@ -131,9 +135,9 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(Bn, H, N, N)
 
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
                          preferred_element_type=jnp.float32)
-        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        out = out.astype(self.dtype).reshape(Bn, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -247,6 +251,7 @@ class SwinEncoder(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
     patch_size: int = 4
+    remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -265,6 +270,8 @@ class SwinEncoder(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)
         block_id = 0
 
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
+                     if self.remat else SwinBlock)
         features = []
         for stage, depth in enumerate(self.depths):
             if stage > 0:
@@ -272,7 +279,7 @@ class SwinEncoder(nn.Module):
                                  name=f"merge{stage}")(x)
             dim = self.embed_dim * (2**stage)
             for b in range(depth):
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim,
                     num_heads=self.num_heads[stage],
                     window_size=self.window_size,
@@ -281,7 +288,7 @@ class SwinEncoder(nn.Module):
                     drop_path=float(dpr[block_id]),
                     dtype=self.dtype,
                     name=f"stage{stage}_block{b}",
-                )(x, train=train)
+                )(x, train)  # positional: remat static_argnums=(2,)
                 block_id += 1
             features.append(x)
         return features
@@ -308,6 +315,10 @@ def build_swin(name: str, config=None, dtype=jnp.float32) -> SwinEncoder:
             f"Unknown swin variant {name!r}; have {sorted(_SWIN_VARIANTS)}")
     kwargs = dict(_SWIN_VARIANTS[name])
     drop_path = 0.1
+    remat = False
     if config is not None:
         drop_path = float(config.get("model.encoder.drop_path_rate", 0.1))
-    return SwinEncoder(dtype=dtype, drop_path_rate=drop_path, **kwargs)
+        remat = bool(config.get("model.encoder.remat", False)
+                     or config.get("training.remat", False))
+    return SwinEncoder(dtype=dtype, drop_path_rate=drop_path, remat=remat,
+                       **kwargs)

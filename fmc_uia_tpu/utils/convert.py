@@ -1,0 +1,205 @@
+"""Pretrained-weight conversion: torch/timm checkpoints -> flax params.
+
+The reference gets pretrained encoders for free from timm
+(reference encoders.py:53-59, 179-185, 528-534). In this zero-egress
+environment weights cannot be downloaded, so conversion is offline: point
+``convert_*`` at a local ``.pth``/``.bin`` state_dict (torch CPU load) and it
+returns a params pytree matching our from-scratch encoders.
+
+Covered mappings:
+  * timm Swin v1 (``swin_{t,s,b,l}_patch4_window7_224``) -> SwinEncoder
+  * timm ViT (``vit_*_patch16_224``; DINOv2/v3-style plain ViTs) -> ViTBackbone
+  * torchvision ResNet-50 -> ResNetEncoder (GN stats are re-initialized;
+    BN affine folds into GN scale/bias)
+
+Tensor layout rules: torch Linear [out, in] -> [in, out]; torch Conv
+[out, in, kh, kw] -> HWIO [kh, kw, in, out]; LayerNorm weight/bias ->
+scale/bias.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file into numpy arrays (CPU)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and isinstance(
+            obj["model"], dict):
+        obj = obj["model"]
+    return {k: np.asarray(v.detach().cpu().numpy()) if hasattr(v, "detach")
+            else np.asarray(v) for k, v in obj.items()}
+
+
+def _linear(sd, key):
+    return {"kernel": sd[f"{key}.weight"].T.astype(np.float32),
+            "bias": sd[f"{key}.bias"].astype(np.float32)}
+
+
+def _linear_nobias(sd, key):
+    return {"kernel": sd[f"{key}.weight"].T.astype(np.float32)}
+
+
+def _conv(sd, key, bias=True):
+    out = {"kernel": sd[f"{key}.weight"].transpose(2, 3, 1, 0)
+           .astype(np.float32)}
+    if bias and f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"].astype(np.float32)
+    return out
+
+
+def _norm(sd, key):
+    return {"scale": sd[f"{key}.weight"].astype(np.float32),
+            "bias": sd[f"{key}.bias"].astype(np.float32)}
+
+
+def convert_swin(sd: Dict[str, np.ndarray],
+                 depths: Sequence[int] = (2, 2, 18, 2)) -> Dict:
+    """timm Swin v1 state_dict -> SwinEncoder params pytree."""
+    params: Dict = {}
+    params["patch_embed"] = _conv(sd, "patch_embed.proj")
+    params["patch_norm"] = _norm(sd, "patch_embed.norm")
+
+    for stage, depth in enumerate(depths):
+        if stage > 0:
+            # timm: downsample at END of previous layer
+            ds = f"layers.{stage - 1}.downsample"
+            params[f"merge{stage}"] = {
+                "norm": _norm(sd, f"{ds}.norm"),
+                "reduction": _linear_nobias(sd, f"{ds}.reduction"),
+            }
+        for b in range(depth):
+            base = f"layers.{stage}.blocks.{b}"
+            params[f"stage{stage}_block{b}"] = {
+                "norm1": _norm(sd, f"{base}.norm1"),
+                "attn": {
+                    "qkv": _linear(sd, f"{base}.attn.qkv"),
+                    "proj": _linear(sd, f"{base}.attn.proj"),
+                    "rel_pos_bias": sd[
+                        f"{base}.attn.relative_position_bias_table"
+                    ].astype(np.float32),
+                },
+                "norm2": _norm(sd, f"{base}.norm2"),
+                "mlp_fc1": _linear(sd, f"{base}.mlp.fc1"),
+                "mlp_fc2": _linear(sd, f"{base}.mlp.fc2"),
+            }
+    return params
+
+
+def convert_vit(sd: Dict[str, np.ndarray], depth: int = 12,
+                prefix: str = "") -> Dict:
+    """timm plain-ViT state_dict -> ViTBackbone params pytree.
+
+    The cls token is dropped (our backbone is patch-tokens-only); its
+    positional embedding row is discarded accordingly.
+    """
+    g = lambda k: sd[prefix + k]  # noqa: E731
+    params: Dict = {}
+    params["patch_embed"] = {
+        "kernel": g("patch_embed.proj.weight").transpose(2, 3, 1, 0)
+        .astype(np.float32),
+        "bias": g("patch_embed.proj.bias").astype(np.float32),
+    }
+    pos = g("pos_embed").astype(np.float32)
+    n_patches_pos = pos.shape[1]
+    # drop prefix-token rows (cls/register tokens)
+    side = int(np.sqrt(n_patches_pos))
+    if side * side != n_patches_pos:
+        n_prefix = n_patches_pos - side * side
+        pos = pos[:, n_prefix:, :]
+    params["pos_embed"] = pos
+
+    def sub(k):
+        return {kk[len(prefix):] if kk.startswith(prefix) else kk: vv
+                for kk, vv in sd.items() if kk.startswith(prefix + k)}
+
+    for i in range(depth):
+        base = f"blocks.{i}"
+        params[f"block{i}"] = {
+            "norm1": _norm(sd, f"{prefix}{base}.norm1"),
+            "qkv": _linear(sd, f"{prefix}{base}.attn.qkv"),
+            "proj": _linear(sd, f"{prefix}{base}.attn.proj"),
+            "norm2": _norm(sd, f"{prefix}{base}.norm2"),
+            "mlp_fc1": _linear(sd, f"{prefix}{base}.mlp.fc1"),
+            "mlp_fc2": _linear(sd, f"{prefix}{base}.mlp.fc2"),
+        }
+    return params
+
+
+def convert_resnet50(sd: Dict[str, np.ndarray],
+                     stage_sizes: Sequence[int] = (3, 4, 6, 3)) -> Dict:
+    """torchvision ResNet-50 -> ResNetEncoder params.
+
+    BatchNorm affine params fold into GroupNorm scale/bias; BN running
+    statistics are dropped (GN normalizes per sample), so expect a brief
+    adaptation phase when fine-tuning — the conv weights carry the value.
+    """
+    params: Dict = {"stem_conv": _conv(sd, "conv1", bias=False),
+                    "GroupNorm_0": _norm(sd, "bn1")}
+
+    for stage, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            base = f"layer{stage + 1}.{b}"
+            entry = {
+                "Conv_0": _conv(sd, f"{base}.conv1", bias=False),
+                "GroupNorm_0": _norm(sd, f"{base}.bn1"),
+                "Conv_1": _conv(sd, f"{base}.conv2", bias=False),
+                "GroupNorm_1": _norm(sd, f"{base}.bn2"),
+                "Conv_2": _conv(sd, f"{base}.conv3", bias=False),
+                "GroupNorm_2": _norm(sd, f"{base}.bn3"),
+            }
+            if f"{base}.downsample.0.weight" in sd:
+                entry["proj"] = _conv(sd, f"{base}.downsample.0", bias=False)
+                entry["GroupNorm_3"] = _norm(sd, f"{base}.downsample.1")
+            params[f"stage{stage}_block{b}"] = entry
+    return params
+
+
+def load_pretrained_encoder(encoder_name: str, checkpoint_path: str,
+                            current_params: Dict) -> Dict:
+    """Convert a local checkpoint and merge into an initialized param tree.
+
+    Entries missing from the checkpoint keep their initialization; shapes
+    are validated against ``current_params``.
+    """
+    sd = load_torch_state_dict(checkpoint_path)
+    if encoder_name.startswith("swin"):
+        depths = {"swin_t": (2, 2, 6, 2)}.get(encoder_name, (2, 2, 18, 2))
+        converted = convert_swin(sd, depths)
+    elif encoder_name.startswith("vit") or "dinov" in encoder_name:
+        depth = sum(1 for k in sd if k.endswith(".norm1.weight")
+                    and k.startswith("blocks."))
+        converted = convert_vit(sd, depth=depth)
+    elif encoder_name.startswith("resnet"):
+        converted = convert_resnet50(sd)
+    else:
+        raise ValueError(f"No converter for encoder {encoder_name!r}")
+
+    return merge_params(current_params, converted)
+
+
+def merge_params(current: Dict, incoming: Dict, path: str = "") -> Dict:
+    """Recursively overlay ``incoming`` onto ``current`` with shape checks."""
+    out = dict(current)
+    for k, v in incoming.items():
+        here = f"{path}/{k}"
+        if k not in current:
+            raise KeyError(f"converted param {here} not in model tree "
+                           f"(have: {sorted(current)[:8]}...)")
+        if isinstance(v, dict):
+            out[k] = merge_params(current[k], v, here)
+        else:
+            cur = np.asarray(current[k])
+            if cur.shape != v.shape:
+                raise ValueError(
+                    f"shape mismatch at {here}: model {cur.shape} vs "
+                    f"checkpoint {v.shape}")
+            out[k] = v.astype(cur.dtype)
+    return out
