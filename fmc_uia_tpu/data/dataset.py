@@ -64,11 +64,25 @@ def _decode_mask(path: str) -> Optional[np.ndarray]:
         return None
 
 
+def _native_lib():
+    try:
+        from fmc_uia_tpu import native
+
+        return native if native.available() else None
+    except Exception:  # pragma: no cover
+        return None
+
+
 def _resize_image(img: np.ndarray, size: int) -> np.ndarray:
     if img.shape[0] == size and img.shape[1] == size:
         return img
+    if _HAS_CV2 and img.dtype == np.uint8:
+        return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
     if _HAS_CV2:
         return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+    nat = _native_lib()  # pragma: no cover - cv2 present in this image
+    if nat is not None and img.dtype == np.uint8:
+        return nat.resize_bilinear(img, size, size)
     from PIL import Image  # pragma: no cover
 
     return np.asarray(Image.fromarray(img).resize((size, size),
@@ -80,6 +94,9 @@ def _resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
         return mask
     if _HAS_CV2:
         return cv2.resize(mask, (size, size), interpolation=cv2.INTER_NEAREST)
+    nat = _native_lib()  # pragma: no cover
+    if nat is not None and mask.dtype == np.uint8:
+        return nat.resize_nearest(mask, size, size)
     from PIL import Image  # pragma: no cover
 
     return np.asarray(Image.fromarray(mask).resize((size, size),
