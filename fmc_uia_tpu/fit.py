@@ -38,7 +38,7 @@ from fmc_uia_tpu.utils.logger import (
 
 
 def _train_epoch(trainer: Trainer, train_engine, epoch: int,
-                 print_freq: int) -> Dict:
+                 print_freq: int, profiler=None, timer=None) -> Dict:
     """One epoch; returns (per-task losses, adaptive weights, moe stats)."""
     epoch_losses = defaultdict(list)
     epoch_weights = defaultdict(list)
@@ -60,7 +60,17 @@ def _train_epoch(trainer: Trainer, train_engine, epoch: int,
             entry["aux_count"] += 1
 
     for batch_idx, batch in enumerate(train_engine):
+        step = int(trainer.state.step)
+        if profiler is not None:
+            profiler.maybe_start(step)
+        if timer is not None:
+            timer.start()
         logs = trainer.train_batch(batch, epoch)
+        if timer is not None:
+            jax.block_until_ready(logs["total_loss"])
+            timer.stop()
+        if profiler is not None:
+            profiler.maybe_stop(step + 1)
         tid = batch["task_id"]
         ttype = batch["task_type"]
         epoch_losses[tid].append(float(logs["total_loss"]))
@@ -143,11 +153,22 @@ def fit(config_path: Optional[str] = None, config=None,
     save_ckpts = bool(config.get("experiment.save_checkpoints", True))
     ckpt_freq = int(config.get("experiment.checkpoint_freq", 5))
 
+    from fmc_uia_tpu.utils.profiling import ProfileTrace, StepTimer
+
+    profiler = ProfileTrace(config, str(ckpt_dir / "profile"))
+    timer = StepTimer()
+
     for epoch in range(start_epoch, config.num_epochs):
         t0 = time.time()
         print(f"\nEpoch [{epoch + 1}/{config.num_epochs}]")
         epoch_losses, epoch_weights, moe_stats = _train_epoch(
-            trainer, train_engine, epoch, print_freq)
+            trainer, train_engine, epoch, print_freq,
+            profiler=profiler, timer=timer)
+        timing = timer.summary(batch_size=config.batch_size)
+        if timing:
+            print(f"  step p50={timing['p50_s'] * 1e3:.1f}ms  "
+                  f"throughput={timing.get('images_per_sec', 0):.1f} img/s")
+        timer.reset()
 
         for tid in sorted(epoch_losses):
             print(f"  {tid:<30}: {np.mean(epoch_losses[tid]):.4f}")
@@ -181,6 +202,7 @@ def fit(config_path: Optional[str] = None, config=None,
             ckpt_lib.save_checkpoint(ckpt_dir, trainer.state, epoch + 1,
                                      best_val_score, config.config)
 
+    profiler.close()
     logger.save_final_summary(best_epoch=best_epoch,
                               best_score=best_val_score)
 
