@@ -24,6 +24,11 @@ import time
 
 import numpy as np
 
+# Persistent executable cache: swin_b@512^2 programs take many minutes to
+# compile through the remote-compile tunnel; cache across bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 REFERENCE_A100_IPS_ESTIMATE = 75.0
 
 
@@ -123,7 +128,10 @@ def main():
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     batch_env = os.environ.get("BENCH_BATCH")
-    candidates = ([int(batch_env)] if batch_env else [32, 16, 8, 4])
+    # default chain: 16 first at 512^2 (32 is close to the 16G HBM edge and
+    # a failed attempt costs a full many-minute compile)
+    default_chain = [16, 8, 4] if image_size >= 384 else [32, 16, 8, 4]
+    candidates = ([int(batch_env)] if batch_env else default_chain)
 
     ips = None
     for batch in candidates:

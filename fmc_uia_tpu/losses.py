@@ -167,6 +167,46 @@ def smooth_l1(x: jax.Array, beta: float = 1.0) -> jax.Array:
     return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
 
 
+def focal_loss(logits: jax.Array, targets: jax.Array, alpha: float = 0.25,
+               gamma: float = 2.0, reduction: str = "mean") -> jax.Array:
+    """Standard binary focal loss (reference loss_functions.py:102-121 —
+    exported there but unused in the training path; kept for API parity)."""
+    x = logits.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    bce = jnp.maximum(x, 0.0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    pt = jnp.exp(-bce)
+    loss = alpha * jnp.power(1.0 - pt, gamma) * bce
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
+def giou_loss(preds: jax.Array, targets: jax.Array,
+              eps: float = 1e-7) -> jax.Array:
+    """Generalized IoU loss over corner boxes (reference heads.py:226-268,
+    the DetectionHead's optional-but-untrained path). Accepts [..., 4]."""
+    p = preds.astype(jnp.float32).reshape(-1, 4)
+    t = targets.astype(jnp.float32).reshape(-1, 4)
+    x1 = jnp.maximum(p[:, 0], t[:, 0])
+    y1 = jnp.maximum(p[:, 1], t[:, 1])
+    x2 = jnp.minimum(p[:, 2], t[:, 2])
+    y2 = jnp.minimum(p[:, 3], t[:, 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    area_p = jnp.clip(p[:, 2] - p[:, 0], 0) * jnp.clip(p[:, 3] - p[:, 1], 0)
+    area_t = jnp.clip(t[:, 2] - t[:, 0], 0) * jnp.clip(t[:, 3] - t[:, 1], 0)
+    union = area_p + area_t - inter + eps
+    iou = inter / union
+    xc1 = jnp.minimum(p[:, 0], t[:, 0])
+    yc1 = jnp.minimum(p[:, 1], t[:, 1])
+    xc2 = jnp.maximum(p[:, 2], t[:, 2])
+    yc2 = jnp.maximum(p[:, 3], t[:, 3])
+    area_c = jnp.clip(xc2 - xc1, 0) * jnp.clip(yc2 - yc1, 0) + eps
+    giou = iou - (area_c - union) / area_c
+    return jnp.mean(1.0 - giou)
+
+
 def detection_grid_loss(
     predictions: jax.Array,
     targets: jax.Array,

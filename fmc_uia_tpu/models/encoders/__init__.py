@@ -25,6 +25,11 @@ def build_encoder(config, dtype=jnp.float32):
 
         return build_swin(name, config, dtype=dtype)
 
+    if "convnext" in name:
+        from fmc_uia_tpu.models.encoders.convnext import build_convnext
+
+        return build_convnext(name, config, dtype=dtype)
+
     if name.startswith("vit_") or name.startswith("dinov3") or name.startswith("timm:"):
         from fmc_uia_tpu.models.encoders.vit import build_vit_encoder
 
