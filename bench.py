@@ -26,7 +26,7 @@ import numpy as np
 
 # Persistent executable cache: swin_b@512^2 programs take many minutes to
 # compile through the remote-compile tunnel; cache across bench runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 REFERENCE_A100_IPS_ESTIMATE = 75.0

@@ -5,6 +5,11 @@ from fmc_uia_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
 )
+from fmc_uia_tpu.parallel.sharding import (
+    apply_param_sharding,
+    make_param_specs,
+    tp_spec_for_path,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +17,7 @@ __all__ = [
     "shard_batch",
     "batch_sharding",
     "replicated_sharding",
+    "apply_param_sharding",
+    "make_param_specs",
+    "tp_spec_for_path",
 ]

@@ -411,9 +411,29 @@ class Trainer:
             opt_state=self.tx.init(params),
         )
         if self.mesh is not None:
-            from fmc_uia_tpu.parallel import replicate
+            from fmc_uia_tpu.parallel import apply_param_sharding, replicate
 
-            self.state = replicate(self.state, self.mesh)
+            use_tp = ("model" in self.mesh.axis_names
+                      and bool(config.get("parallel.tensor_parallel", True)))
+            if use_tp:
+                min_dim = int(config.get("parallel.tp_min_dim", 256))
+                from fmc_uia_tpu.parallel import make_param_specs
+
+                specs = make_param_specs(
+                    self.state.params["model"], min_shard_dim=min_dim)
+                sharded_model = apply_param_sharding(
+                    self.state.params["model"], self.mesh, specs)
+                new_params = dict(self.state.params, model=sharded_model)
+                rest = {k: v for k, v in new_params.items() if k != "model"}
+                rest = replicate(rest, self.mesh)
+                new_params.update(rest)
+                self.state = TrainState(
+                    step=replicate(self.state.step, self.mesh),
+                    params=new_params,
+                    opt_state=self.tx.init(new_params),
+                )
+            else:
+                self.state = replicate(self.state, self.mesh)
         self.scheduler = LRScheduler(config)
 
         self.steps = {
