@@ -142,19 +142,26 @@ class WindowAttention(nn.Module):
 
 
 class DropPath(nn.Module):
-    """Per-sample stochastic depth."""
+    """Per-sample stochastic depth.
 
-    rate: float
+    The rate is a CALL argument (may be a traced scalar) so identical blocks
+    with different depth-dependent rates can share one scanned program.
+    """
+
+    rate: float = 0.0  # legacy attr; call-arg rate takes precedence
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x: jax.Array, deterministic: bool,
+                 rate=None) -> jax.Array:
+        if rate is None:
+            rate = self.rate
+        if deterministic or (isinstance(rate, float) and rate == 0.0):
             return x
         key = self.make_rng("dropout")
-        keep = 1.0 - self.rate
+        keep = 1.0 - jnp.asarray(rate, jnp.float32)
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(key, keep, shape)
-        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        return jnp.where(mask, x / keep.astype(x.dtype), 0.0).astype(x.dtype)
 
 
 class SwinBlock(nn.Module):
@@ -163,11 +170,14 @@ class SwinBlock(nn.Module):
     window_size: int
     shift: int  # 0 or window_size // 2
     mlp_ratio: float = 4.0
-    drop_path: float = 0.0
+    drop_path: float = 0.0  # used when no call-arg rate is given
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 drop_path_rate=None) -> jax.Array:
+        dp_rate = (drop_path_rate if drop_path_rate is not None
+                   else self.drop_path)
         B, H, W, C = x.shape
         ws = self.window_size
         hp = -(-H // ws) * ws
@@ -211,16 +221,47 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         if pad:
             y = y[:, :H, :W, :]
-        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
-            y, deterministic=not train)
+        x = shortcut + DropPath(name="drop_path1")(
+            y, deterministic=not train, rate=dp_rate)
 
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y)
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + DropPath(self.drop_path, name="drop_path2")(
-            y, deterministic=not train)
+        return x + DropPath(name="drop_path2")(
+            y, deterministic=not train, rate=dp_rate)
+
+
+class SwinBlockPair(nn.Module):
+    """One scan body: a W-MSA block followed by a SW-MSA block.
+
+    Swin stages are sequences of (window, shifted-window) pairs; scanning
+    over pairs compiles ONE pair program per stage instead of ``depth``
+    unrolled blocks — a ~9x XLA code-size/compile-time cut for swin_b's
+    18-block stage at 512^2 (where unrolled compiles took tens of minutes
+    through the remote-compile tunnel).
+    """
+
+    dim: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, rates: jax.Array, train: bool):
+        # rates: [2] drop-path rates for the two blocks
+        x = SwinBlock(dim=self.dim, num_heads=self.num_heads,
+                      window_size=self.window_size, shift=0,
+                      mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                      name="block0")(x, train, rates[0])
+        x = SwinBlock(dim=self.dim, num_heads=self.num_heads,
+                      window_size=self.window_size,
+                      shift=self.window_size // 2,
+                      mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                      name="block1")(x, train, rates[1])
+        return x, None
 
 
 class PatchMerging(nn.Module):
@@ -252,6 +293,7 @@ class SwinEncoder(nn.Module):
     drop_path_rate: float = 0.1
     patch_size: int = 4
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
+    scan_blocks: bool = True  # nn.scan over block pairs (compile-time)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -272,24 +314,51 @@ class SwinEncoder(nn.Module):
 
         block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
                      if self.remat else SwinBlock)
+        pair_cls = SwinBlockPair
+        if self.remat:
+            # prevent_cse=False: required for efficient remat inside scan
+            pair_cls = nn.remat(SwinBlockPair, static_argnums=(3,),
+                                prevent_cse=False)
         features = []
         for stage, depth in enumerate(self.depths):
             if stage > 0:
                 x = PatchMerging(dtype=self.dtype,
                                  name=f"merge{stage}")(x)
             dim = self.embed_dim * (2**stage)
-            for b in range(depth):
-                x = block_cls(
+            if self.scan_blocks and depth % 2 == 0 and depth > 0:
+                n_pairs = depth // 2
+                rates = jnp.asarray(
+                    dpr[block_id : block_id + depth], jnp.float32
+                ).reshape(n_pairs, 2)
+                scanned = nn.scan(
+                    pair_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(0, nn.broadcast),
+                    length=n_pairs,
+                )
+                x, _ = scanned(
                     dim=dim,
                     num_heads=self.num_heads[stage],
                     window_size=self.window_size,
-                    shift=0 if b % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio,
-                    drop_path=float(dpr[block_id]),
                     dtype=self.dtype,
-                    name=f"stage{stage}_block{b}",
-                )(x, train)  # positional: remat static_argnums=(2,)
-                block_id += 1
+                    name=f"stage{stage}_scan",
+                )(x, rates, train)
+                block_id += depth
+            else:
+                for b in range(depth):
+                    x = block_cls(
+                        dim=dim,
+                        num_heads=self.num_heads[stage],
+                        window_size=self.window_size,
+                        shift=0 if b % 2 == 0 else self.window_size // 2,
+                        mlp_ratio=self.mlp_ratio,
+                        drop_path=float(dpr[block_id]),
+                        dtype=self.dtype,
+                        name=f"stage{stage}_block{b}",
+                    )(x, train)  # positional: remat static_argnums=(2,)
+                    block_id += 1
             features.append(x)
         return features
 

@@ -60,9 +60,38 @@ def _norm(sd, key):
             "bias": sd[f"{key}.bias"].astype(np.float32)}
 
 
+def _swin_block_params(sd, base: str) -> Dict:
+    return {
+        "norm1": _norm(sd, f"{base}.norm1"),
+        "attn": {
+            "qkv": _linear(sd, f"{base}.attn.qkv"),
+            "proj": _linear(sd, f"{base}.attn.proj"),
+            "rel_pos_bias": sd[
+                f"{base}.attn.relative_position_bias_table"
+            ].astype(np.float32),
+        },
+        "norm2": _norm(sd, f"{base}.norm2"),
+        "mlp_fc1": _linear(sd, f"{base}.mlp.fc1"),
+        "mlp_fc2": _linear(sd, f"{base}.mlp.fc2"),
+    }
+
+
+def _stack_trees(trees):
+    """Stack a list of identical pytrees along a new leading axis."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
 def convert_swin(sd: Dict[str, np.ndarray],
-                 depths: Sequence[int] = (2, 2, 18, 2)) -> Dict:
-    """timm Swin v1 state_dict -> SwinEncoder params pytree."""
+                 depths: Sequence[int] = (2, 2, 18, 2),
+                 scan_blocks: bool = True) -> Dict:
+    """timm Swin v1 state_dict -> SwinEncoder params pytree.
+
+    ``scan_blocks=True`` emits the scanned layout: per-stage pair params
+    stacked on a leading [depth//2] axis under ``stage{s}_scan`` with
+    ``block0`` (W-MSA) / ``block1`` (SW-MSA) children.
+    """
     params: Dict = {}
     params["patch_embed"] = _conv(sd, "patch_embed.proj")
     params["patch_norm"] = _norm(sd, "patch_embed.norm")
@@ -75,21 +104,19 @@ def convert_swin(sd: Dict[str, np.ndarray],
                 "norm": _norm(sd, f"{ds}.norm"),
                 "reduction": _linear_nobias(sd, f"{ds}.reduction"),
             }
-        for b in range(depth):
-            base = f"layers.{stage}.blocks.{b}"
-            params[f"stage{stage}_block{b}"] = {
-                "norm1": _norm(sd, f"{base}.norm1"),
-                "attn": {
-                    "qkv": _linear(sd, f"{base}.attn.qkv"),
-                    "proj": _linear(sd, f"{base}.attn.proj"),
-                    "rel_pos_bias": sd[
-                        f"{base}.attn.relative_position_bias_table"
-                    ].astype(np.float32),
-                },
-                "norm2": _norm(sd, f"{base}.norm2"),
-                "mlp_fc1": _linear(sd, f"{base}.mlp.fc1"),
-                "mlp_fc2": _linear(sd, f"{base}.mlp.fc2"),
+        if scan_blocks and depth % 2 == 0 and depth > 0:
+            even = [_swin_block_params(sd, f"layers.{stage}.blocks.{b}")
+                    for b in range(0, depth, 2)]
+            odd = [_swin_block_params(sd, f"layers.{stage}.blocks.{b}")
+                   for b in range(1, depth, 2)]
+            params[f"stage{stage}_scan"] = {
+                "block0": _stack_trees(even),
+                "block1": _stack_trees(odd),
             }
+        else:
+            for b in range(depth):
+                params[f"stage{stage}_block{b}"] = _swin_block_params(
+                    sd, f"layers.{stage}.blocks.{b}")
     return params
 
 
@@ -172,7 +199,8 @@ def load_pretrained_encoder(encoder_name: str, checkpoint_path: str,
     sd = load_torch_state_dict(checkpoint_path)
     if encoder_name.startswith("swin"):
         depths = {"swin_t": (2, 2, 6, 2)}.get(encoder_name, (2, 2, 18, 2))
-        converted = convert_swin(sd, depths)
+        scan = any(str(k).endswith("_scan") for k in current_params)
+        converted = convert_swin(sd, depths, scan_blocks=scan)
     elif encoder_name.startswith("vit") or "dinov" in encoder_name:
         depth = sum(1 for k in sd if k.endswith(".norm1.weight")
                     and k.startswith("blocks."))

@@ -58,13 +58,13 @@ def _fake_swin_sd(embed_dim, depths, num_heads, window=7):
 def test_swin_conversion_full_coverage():
     depths, heads, dim = (1, 1, 2, 1), (2, 2, 4, 4), 32
     enc = SwinEncoder(embed_dim=dim, depths=depths, num_heads=heads,
-                      window_size=7, drop_path_rate=0.0)
+                      window_size=7, drop_path_rate=0.0, scan_blocks=False)
     x = jnp.zeros((1, 64, 64, 3))
     variables = enc.init(jax.random.PRNGKey(0), x)
     params = variables["params"]
 
     sd = _fake_swin_sd(dim, depths, heads)
-    converted = convert_swin(sd, depths)
+    converted = convert_swin(sd, depths, scan_blocks=False)
     merged = merge_params(params, converted)
 
     # converted qkv made it through with the right orientation
@@ -162,3 +162,24 @@ def test_merge_rejects_shape_mismatch():
         merge_params(cur, {"a": np.zeros((3, 2))})
     with pytest.raises(KeyError):
         merge_params(cur, {"b": np.zeros((2, 3))})
+
+
+def test_swin_conversion_scanned_layout():
+    depths, heads, dim = (2, 2, 4, 2), (2, 2, 4, 4), 32
+    enc = SwinEncoder(embed_dim=dim, depths=depths, num_heads=heads,
+                      window_size=7, drop_path_rate=0.0, scan_blocks=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    assert "stage2_scan" in params
+
+    sd = _fake_swin_sd(dim, depths, heads)
+    from fmc_uia_tpu.utils.convert import convert_swin as _cs
+    converted = _cs(sd, depths, scan_blocks=True)
+    merged = merge_params(params, converted)
+    # pair 1 of stage 2 block0 == timm layers.2.blocks.2
+    np.testing.assert_allclose(
+        np.asarray(merged["stage2_scan"]["block0"]["attn"]["qkv"]["kernel"][1]),
+        sd["layers.2.blocks.2.attn.qkv.weight"].T)
+    feats = enc.apply({"params": merged}, x)
+    assert np.isfinite(np.asarray(feats[-1])).all()
