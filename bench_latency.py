@@ -1,0 +1,107 @@
+"""Inference latency benchmark: p50 per-image latency on TPU.
+
+BASELINE.md tracks "p50 per-image inference latency" alongside training
+throughput. This harness measures the jitted eval-mode forward (+ decode for
+detection) per task type at batch 1 and at a serving batch, reporting
+p50/p90/p99 over N iterations.
+
+Usage: python bench_latency.py  [env: LAT_ENCODER, LAT_IMAGE_SIZE,
+LAT_BATCH, LAT_ITERS]
+Prints one JSON line: {"metric": ..., "value": p50_ms, "unit": "ms", ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fmc_uia_tpu.config import load_config
+    from fmc_uia_tpu.metrics import make_eval_steps
+    from fmc_uia_tpu.models import build_model
+    from fmc_uia_tpu.models.multitask import init_variables
+    from fmc_uia_tpu.tasks import TaskRegistry
+
+    encoder = os.environ.get("LAT_ENCODER", "swin_b")
+    image_size = int(os.environ.get("LAT_IMAGE_SIZE", "512"))
+    batch = int(os.environ.get("LAT_BATCH", "1"))
+    iters = int(os.environ.get("LAT_ITERS", "50"))
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "configs",
+                                   "config.yaml"))
+    cfg.config["data"]["image_size"] = image_size
+    cfg.config["model"]["encoder"]["name"] = encoder
+    cfg.config["device"]["mixed_precision"] = True
+    cfg._set_attributes()
+
+    registry = TaskRegistry.from_config(cfg)
+    model = build_model(cfg, registry)
+    variables = init_variables(model, jax.random.PRNGKey(0), image_size, 1)
+    params = variables["params"]
+    mean = cfg.get("data.augmentation.normalize.mean")
+    std = cfg.get("data.augmentation.normalize.std")
+    steps = make_eval_steps(model, None, registry, mean, std)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.randint(0, 255, (batch, image_size, image_size, 3)).astype(
+            np.uint8))
+
+    results = {}
+    for ttype, step in steps.items():
+        if ttype == "segmentation":
+            labels = jnp.zeros((batch, image_size, image_size), jnp.int32)
+            tid = "T2A_fetal_abdomen"
+        elif ttype == "classification":
+            labels = jnp.zeros((batch,), jnp.int32)
+            tid = "T1_fetal_planes"
+        elif ttype == "detection":
+            labels = jnp.tile(jnp.asarray([[0.2, 0.2, 0.6, 0.6]],
+                                          jnp.float32), (batch, 1))
+            tid = "T4A_fetal_brain"
+        else:
+            labels = jnp.zeros((batch, 8), jnp.float32)
+            tid = "T5_fetal_femur"
+        tindex = jnp.int32(registry[tid].global_index)
+
+        out = step(params, images, labels, tindex)  # compile
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = step(params, images, labels, tindex)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        arr = np.asarray(times) * 1e3 / batch  # ms per image
+        results[ttype] = {
+            "p50_ms": float(np.percentile(arr, 50)),
+            "p90_ms": float(np.percentile(arr, 90)),
+            "p99_ms": float(np.percentile(arr, 99)),
+        }
+        log(f"{ttype:>15}: p50={results[ttype]['p50_ms']:.2f}ms "
+            f"p90={results[ttype]['p90_ms']:.2f}ms per image (batch {batch})")
+
+    overall_p50 = float(np.mean([r["p50_ms"] for r in results.values()]))
+    print(json.dumps({
+        "metric": f"{encoder} {image_size}^2 p50 per-image inference latency",
+        "value": round(overall_p50, 3),
+        "unit": "ms",
+        "per_task_type": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
