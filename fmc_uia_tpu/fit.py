@@ -173,12 +173,24 @@ def fit(config_path: Optional[str] = None, config=None,
         for tid in sorted(epoch_losses):
             print(f"  {tid:<30}: {np.mean(epoch_losses[tid]):.4f}")
 
-        val_df = evaluate(model, trainer.model_params, val_engine, registry,
-                          mean, std, prep=eval_prep)
-        avg_val_score = average_validation_score(val_df)
-        if not val_df.empty:
-            print(val_df.to_string(index=False))
-        print(f"--- Average Validation Score: {avg_val_score:.4f} ---")
+        # validation.freq: validate every N epochs (a config key the
+        # reference declares but never reads, config.yaml:220)
+        val_freq = max(1, int(config.get("validation.freq", 1) or 1))
+        run_val = (bool(config.get("validation.enabled", True))
+                   and ((epoch + 1) % val_freq == 0
+                        or epoch + 1 == config.num_epochs))
+        if run_val:
+            val_df = evaluate(model, trainer.model_params, val_engine,
+                              registry, mean, std, prep=eval_prep)
+            avg_val_score = average_validation_score(val_df)
+            if not val_df.empty:
+                print(val_df.to_string(index=False))
+            print(f"--- Average Validation Score: {avg_val_score:.4f} ---")
+        else:
+            import pandas as pd
+
+            val_df = pd.DataFrame()
+            avg_val_score = -float("inf")  # never wins best on skip epochs
 
         epoch_time = time.time() - t0
         logger.log_epoch(

@@ -85,6 +85,61 @@ def random_gauss_noise(
     return jnp.clip(x + noise * scale, 0.0, 255.0)
 
 
+def random_flips(
+    key: jax.Array,
+    images: jax.Array,
+    labels: jax.Array,
+    task_type: str,
+    horizontal_p: float = 0.0,
+    vertical_p: float = 0.0,
+):
+    """Synchronized per-image random flips of images AND labels.
+
+    The reference declares flip probabilities in config but never applies
+    them (config.yaml:27-28 vs build_dataloaders, SURVEY.md §2.1); here they
+    work, with geometry-aware label handling:
+      segmentation: mask flips with the image
+      detection:    x1' = 1-x2, x2' = 1-x1 (and y for vertical); invalid
+                    sentinel boxes pass through untouched
+      Regression:   x' = 1-x / y' = 1-y per point
+      classification: label unchanged
+    """
+    B = images.shape[0]
+    kh, kv = jax.random.split(key)
+    do_h = jax.random.bernoulli(kh, horizontal_p, (B,)) if horizontal_p > 0 \
+        else jnp.zeros((B,), bool)
+    do_v = jax.random.bernoulli(kv, vertical_p, (B,)) if vertical_p > 0 \
+        else jnp.zeros((B,), bool)
+
+    img_h = jnp.flip(images, axis=2)
+    images = jnp.where(do_h[:, None, None, None], img_h, images)
+    img_v = jnp.flip(images, axis=1)
+    images = jnp.where(do_v[:, None, None, None], img_v, images)
+
+    if task_type == "segmentation":
+        lab_h = jnp.flip(labels, axis=2)
+        labels = jnp.where(do_h[:, None, None], lab_h, labels)
+        lab_v = jnp.flip(labels, axis=1)
+        labels = jnp.where(do_v[:, None, None], lab_v, labels)
+    elif task_type == "detection":
+        valid = jnp.all(labels >= 0, axis=1)
+        x1, y1, x2, y2 = (labels[:, 0], labels[:, 1], labels[:, 2],
+                          labels[:, 3])
+        fh = jnp.stack([1.0 - x2, y1, 1.0 - x1, y2], axis=1)
+        labels = jnp.where((do_h & valid)[:, None], fh, labels)
+        x1, y1, x2, y2 = (labels[:, 0], labels[:, 1], labels[:, 2],
+                          labels[:, 3])
+        fv = jnp.stack([x1, 1.0 - y2, x2, 1.0 - y1], axis=1)
+        labels = jnp.where((do_v & valid)[:, None], fv, labels)
+    elif task_type == "Regression":
+        is_x = jnp.arange(labels.shape[-1]) % 2 == 0
+        fh = jnp.where(is_x, 1.0 - labels, labels)
+        labels = jnp.where(do_h[:, None], fh, labels)
+        fv = jnp.where(~is_x, 1.0 - labels, labels)
+        labels = jnp.where(do_v[:, None], fv, labels)
+    return images, labels
+
+
 def input_prep_fns(config, compute_dtype=jnp.float32):
     """Build (train_prep(key, images), eval_prep(images)) from config.
 

@@ -36,7 +36,11 @@ from flax.core import FrozenDict
 
 from fmc_uia_tpu import losses as losses_lib
 from fmc_uia_tpu.ops.centernet import make_centernet_targets
-from fmc_uia_tpu.ops.image import augment_and_normalize, input_prep_fns
+from fmc_uia_tpu.ops.image import (
+    augment_and_normalize,
+    input_prep_fns,
+    random_flips,
+)
 from fmc_uia_tpu.tasks import (
     CLASSIFICATION,
     DETECTION,
@@ -246,6 +250,9 @@ def make_train_step(
     """Build the jit-compiled train step for one task type."""
     compute_dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
     train_prep, _ = input_prep_fns(config, compute_dtype)
+    aug_cfg = config.get_augmentation_config("train") or {}
+    flip_h_p = float(aug_cfg.get("horizontal_flip", 0.0) or 0.0)
+    flip_v_p = float(aug_cfg.get("vertical_flip", 0.0) or 0.0)
 
     grad_clip = float(config.get("training.gradient_clip", 0) or 0)
     moe_balance_w = float(config.get("model.moe.balance_loss_weight", 0.0))
@@ -315,7 +322,12 @@ def make_train_step(
     def train_step(state: TrainState, images, labels, task_index,
                    lr: jax.Array, adaptive_enable: jax.Array,
                    rng: jax.Array):
-        k_aug, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        k_aug, k_flip, k_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+        if flip_h_p > 0 or flip_v_p > 0:
+            images, labels = random_flips(
+                k_flip, images, labels, task_type,
+                horizontal_p=flip_h_p, vertical_p=flip_v_p)
         x = train_prep(k_aug, images)
 
         def loss_fn(params):
