@@ -57,6 +57,9 @@ def build_bench(encoder: str, image_size: int, batch: int):
     cfg.config["model"]["encoder"]["remat"] = (
         os.environ.get("BENCH_REMAT", "1" if image_size >= 384 else "0")
         == "1")
+    # window 8: tile-aligned, pad-free windows (see swin.py build_swin)
+    cfg.config["model"]["encoder"]["window_size"] = int(
+        os.environ.get("BENCH_WINDOW", "8"))
     cfg._set_attributes()
 
     registry = TaskRegistry.from_config(cfg)

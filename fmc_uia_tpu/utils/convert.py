@@ -60,15 +60,37 @@ def _norm(sd, key):
             "bias": sd[f"{key}.bias"].astype(np.float32)}
 
 
-def _swin_block_params(sd, base: str) -> Dict:
+def interpolate_rel_pos_bias(table: np.ndarray,
+                             target_window: int) -> np.ndarray:
+    """Bicubic-resample a relative-position-bias table between window sizes.
+
+    table: [(2*ws-1)^2, H] for source window ws -> [(2*tw-1)^2, H].
+    Standard practice when fine-tuning Swin at a different window size.
+    """
+    src_side = int(np.sqrt(table.shape[0]))
+    tgt_side = 2 * target_window - 1
+    if src_side == tgt_side:
+        return table
+    import jax
+
+    grid = table.reshape(src_side, src_side, -1)
+    out = jax.image.resize(grid, (tgt_side, tgt_side, grid.shape[-1]),
+                           method="cubic")
+    return np.asarray(out).reshape(tgt_side * tgt_side, -1).astype(
+        np.float32)
+
+
+def _swin_block_params(sd, base: str,
+                       target_window: Optional[int] = None) -> Dict:
+    bias = sd[f"{base}.attn.relative_position_bias_table"].astype(np.float32)
+    if target_window is not None:
+        bias = interpolate_rel_pos_bias(bias, target_window)
     return {
         "norm1": _norm(sd, f"{base}.norm1"),
         "attn": {
             "qkv": _linear(sd, f"{base}.attn.qkv"),
             "proj": _linear(sd, f"{base}.attn.proj"),
-            "rel_pos_bias": sd[
-                f"{base}.attn.relative_position_bias_table"
-            ].astype(np.float32),
+            "rel_pos_bias": bias,
         },
         "norm2": _norm(sd, f"{base}.norm2"),
         "mlp_fc1": _linear(sd, f"{base}.mlp.fc1"),
@@ -85,16 +107,22 @@ def _stack_trees(trees):
 
 def convert_swin(sd: Dict[str, np.ndarray],
                  depths: Sequence[int] = (2, 2, 18, 2),
-                 scan_blocks: bool = True) -> Dict:
+                 scan_blocks: bool = True,
+                 target_window: Optional[int] = None) -> Dict:
     """timm Swin v1 state_dict -> SwinEncoder params pytree.
 
     ``scan_blocks=True`` emits the scanned layout: per-stage pair params
     stacked on a leading [depth//2] axis under ``stage{s}_scan`` with
-    ``block0`` (W-MSA) / ``block1`` (SW-MSA) children.
+    ``block0`` (W-MSA) / ``block1`` (SW-MSA) children. ``target_window``
+    resamples the relative-position-bias tables for a different window size.
     """
     params: Dict = {}
     params["patch_embed"] = _conv(sd, "patch_embed.proj")
     params["patch_norm"] = _norm(sd, "patch_embed.norm")
+
+    def block(stage, b):
+        return _swin_block_params(sd, f"layers.{stage}.blocks.{b}",
+                                  target_window)
 
     for stage, depth in enumerate(depths):
         if stage > 0:
@@ -105,18 +133,15 @@ def convert_swin(sd: Dict[str, np.ndarray],
                 "reduction": _linear_nobias(sd, f"{ds}.reduction"),
             }
         if scan_blocks and depth % 2 == 0 and depth > 0:
-            even = [_swin_block_params(sd, f"layers.{stage}.blocks.{b}")
-                    for b in range(0, depth, 2)]
-            odd = [_swin_block_params(sd, f"layers.{stage}.blocks.{b}")
-                   for b in range(1, depth, 2)]
+            even = [block(stage, b) for b in range(0, depth, 2)]
+            odd = [block(stage, b) for b in range(1, depth, 2)]
             params[f"stage{stage}_scan"] = {
                 "block0": _stack_trees(even),
                 "block1": _stack_trees(odd),
             }
         else:
             for b in range(depth):
-                params[f"stage{stage}_block{b}"] = _swin_block_params(
-                    sd, f"layers.{stage}.blocks.{b}")
+                params[f"stage{stage}_block{b}"] = block(stage, b)
     return params
 
 
