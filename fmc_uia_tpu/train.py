@@ -54,6 +54,7 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any  # {'model': ..., 'adaptive': ... (optional)}
     opt_state: Any
+    grad_accum: Any = None  # populated when accumulation_steps > 1
 
 
 # --------------------------------------------------------------------------
@@ -255,6 +256,7 @@ def make_train_step(
     flip_v_p = float(aug_cfg.get("vertical_flip", 0.0) or 0.0)
 
     grad_clip = float(config.get("training.gradient_clip", 0) or 0)
+    accum_steps = int(config.get("training.accumulation_steps", 1) or 1)
     moe_balance_w = float(config.get("model.moe.balance_loss_weight", 0.0))
     use_adaptive = config.get("training.adaptive_loss.enabled", False)
     fixed_weight = 1.0
@@ -382,10 +384,81 @@ def make_train_step(
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
-                               opt_state=new_opt_state)
+                               opt_state=new_opt_state,
+                               grad_accum=state.grad_accum)
         return new_state, logs
 
-    return train_step
+    if accum_steps <= 1:
+        return train_step
+
+    # ----- gradient accumulation variant (training.accumulation_steps,
+    # a reference config stub that never worked, config.yaml:211) -----
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def accum_train_step(state: TrainState, images, labels, task_index,
+                         lr: jax.Array, adaptive_enable: jax.Array,
+                         rng: jax.Array, apply_flag: jax.Array):
+        k_aug, k_flip, k_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+        if flip_h_p > 0 or flip_v_p > 0:
+            images, labels = random_flips(
+                k_flip, images, labels, task_type,
+                horizontal_p=flip_h_p, vertical_p=flip_v_p)
+        x = train_prep(k_aug, images)
+
+        def loss_fn(params):
+            outputs, mut = model.apply(
+                {"params": params["model"]}, x, task_type, task_index,
+                train=True, rngs={"dropout": k_drop},
+                mutable=["intermediates"])
+            raw_loss = compute_raw_loss(outputs, labels, task_index)
+            logs = {"raw_loss": raw_loss}
+            if use_adaptive:
+                total, _, weights = losses_lib.adaptive_weighted_loss(
+                    params["adaptive"], {task_type: raw_loss})
+                logs["task_weight"] = weights[task_type]
+            else:
+                total = raw_loss * fixed_weight
+                logs["task_weight"] = jnp.asarray(fixed_weight)
+            if moe_balance_w > 0:
+                moe_aux, n = _sum_intermediates(
+                    mut.get("intermediates", {}), "moe_aux")
+                if n > 0:
+                    total = total + moe_balance_w * moe_aux
+            logs["total_loss"] = total
+            return total, logs
+
+        (_, logs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if use_adaptive and "adaptive" in grads:
+            grads = dict(grads, adaptive=jax.tree_util.tree_map(
+                lambda g: g * adaptive_enable, grads["adaptive"]))
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        acc = jax.tree_util.tree_map(jnp.add, state.grad_accum, grads)
+
+        def do_update(op):
+            acc, opt_state, params = op
+            g = acc
+            if grad_clip > 0:
+                clipped, _ = _clip_by_global_norm(g["model"], grad_clip)
+                g = dict(g, model=clipped)
+            updates, new_opt = tx.update(g, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(params, updates)
+            zero_acc = jax.tree_util.tree_map(jnp.zeros_like, acc)
+            return new_params, new_opt, zero_acc
+
+        def skip_update(op):
+            acc, opt_state, params = op
+            return params, opt_state, acc
+
+        params, opt_state, acc = jax.lax.cond(
+            apply_flag, do_update, skip_update,
+            (acc, state.opt_state, state.params))
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, grad_accum=acc)
+        return new_state, logs
+
+    return accum_train_step
 
 
 # --------------------------------------------------------------------------
@@ -417,10 +490,18 @@ class Trainer:
         if self.use_adaptive:
             params["adaptive"] = adaptive_log_vars
         self.tx = build_optimizer(config, params)
+        self.accum_steps = int(
+            config.get("training.accumulation_steps", 1) or 1)
+        self._micro_step = 0
+        grad_accum = None
+        if self.accum_steps > 1:
+            grad_accum = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
         self.state = TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
             opt_state=self.tx.init(params),
+            grad_accum=grad_accum,
         )
         if self.mesh is not None:
             from fmc_uia_tpu.parallel import apply_param_sharding, replicate
@@ -468,7 +549,7 @@ class Trainer:
             bs = batch_sharding(self.mesh)
             images = jax.device_put(images, bs)
             labels = jax.device_put(labels, bs)
-        self.state, logs = self.steps[task_type](
+        args = [
             self.state,
             images,
             labels,
@@ -476,7 +557,13 @@ class Trainer:
             lr,
             adaptive_enable,
             self.rng,
-        )
+        ]
+        if self.accum_steps > 1:
+            self._micro_step += 1
+            apply_flag = jnp.asarray(
+                self._micro_step % self.accum_steps == 0)
+            args.append(apply_flag)
+        self.state, logs = self.steps[task_type](*args)
         return logs
 
     @property
