@@ -90,11 +90,18 @@ def window_unpartition(windows: jax.Array, ws: int, hp: int, wp: int
 
 
 class WindowAttention(nn.Module):
-    """Multi-head self-attention inside ws x ws windows with relative bias."""
+    """Multi-head self-attention inside ws x ws windows with relative bias.
+
+    On TPU with tile-friendly window sizes (N % 8 == 0) the fused Pallas
+    kernel (ops/window_attention.py) computes scores+softmax+weighted-sum in
+    VMEM; otherwise the batched-einsum XLA path runs.
+    """
 
     dim: int
     num_heads: int
     window_size: int
+    fused: bool = False  # measured net-negative in r1 (see PERF.md); the
+    # kernel is correct and kept for round-2 bwd-kernel work
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -107,16 +114,6 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype,
                        name="qkv")(x)
-        # Split along the feature axis and reshape head-last — no transposed
-        # 5D copy (a [Bn,N,3,H,dh] transpose materializes with ~2.6x tile
-        # padding on TPU); let XLA fold the head split into the dots.
-        q = qkv[..., :C].reshape(Bn, N, H, dh)
-        k = qkv[..., C : 2 * C].reshape(Bn, N, H, dh)
-        v = qkv[..., 2 * C :].reshape(Bn, N, H, dh)
-
-        scale = dh ** -0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)
 
         bias_table = self.param(
             "rel_pos_bias",
@@ -126,6 +123,35 @@ class WindowAttention(nn.Module):
         rel_idx = jnp.asarray(_relative_position_index(ws).reshape(-1))
         bias = jnp.take(bias_table, rel_idx, axis=0)
         bias = bias.reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
+
+        use_fused = (self.fused and N % 8 == 0
+                     and jax.default_backend() == "tpu")
+        if use_fused:
+            from fmc_uia_tpu.ops.window_attention import (
+                fused_window_attention,
+                pick_group_size,
+            )
+
+            if attn_mask is not None:
+                nW = attn_mask.shape[0]
+                G = pick_group_size(Bn, nW, N, dh)
+                addmask = bias[:, None] + attn_mask[None]  # [H, nW, N, N]
+            else:
+                G = pick_group_size(Bn, Bn, N, dh)
+                addmask = jnp.broadcast_to(bias[:, None], (H, G, N, N))
+            out = fused_window_attention(qkv, addmask, H, G)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        # XLA path: split along the feature axis and reshape head-last — no
+        # transposed 5D copy (a [Bn,N,3,H,dh] transpose materializes with
+        # ~2.6x tile padding on TPU).
+        q = qkv[..., :C].reshape(Bn, N, H, dh)
+        k = qkv[..., C : 2 * C].reshape(Bn, N, H, dh)
+        v = qkv[..., 2 * C :].reshape(Bn, N, H, dh)
+
+        scale = dh ** -0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
         attn = attn + bias[None]
 
         if attn_mask is not None:
@@ -171,6 +197,7 @@ class SwinBlock(nn.Module):
     shift: int  # 0 or window_size // 2
     mlp_ratio: float = 4.0
     drop_path: float = 0.0  # used when no call-arg rate is given
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -214,6 +241,7 @@ class SwinBlock(nn.Module):
         windows = window_partition(y, ws)
         windows = WindowAttention(
             dim=C, num_heads=self.num_heads, window_size=ws,
+            fused=self.fused_attention,
             dtype=self.dtype, name="attn")(windows, attn_mask)
         y = window_unpartition(windows, ws, hp, wp)
 
@@ -247,6 +275,7 @@ class SwinBlockPair(nn.Module):
     num_heads: int
     window_size: int
     mlp_ratio: float = 4.0
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -254,12 +283,14 @@ class SwinBlockPair(nn.Module):
         # rates: [2] drop-path rates for the two blocks
         x = SwinBlock(dim=self.dim, num_heads=self.num_heads,
                       window_size=self.window_size, shift=0,
-                      mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                      mlp_ratio=self.mlp_ratio,
+                      fused_attention=self.fused_attention, dtype=self.dtype,
                       name="block0")(x, train, rates[0])
         x = SwinBlock(dim=self.dim, num_heads=self.num_heads,
                       window_size=self.window_size,
                       shift=self.window_size // 2,
-                      mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                      mlp_ratio=self.mlp_ratio,
+                      fused_attention=self.fused_attention, dtype=self.dtype,
                       name="block1")(x, train, rates[1])
         return x, None
 
@@ -293,7 +324,9 @@ class SwinEncoder(nn.Module):
     drop_path_rate: float = 0.1
     patch_size: int = 4
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
+    remat_policy: str = "full"  # 'full' | 'dots' (save matmul outputs)
     scan_blocks: bool = True  # nn.scan over block pairs (compile-time)
+    fused_attention: bool = False  # Pallas kernel (off: see PERF.md)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -316,9 +349,13 @@ class SwinEncoder(nn.Module):
                      if self.remat else SwinBlock)
         pair_cls = SwinBlockPair
         if self.remat:
+            policy = None
+            if self.remat_policy == "dots":
+                # keep matmul outputs, recompute elementwise/norm only
+                policy = jax.checkpoint_policies.checkpoint_dots
             # prevent_cse=False: required for efficient remat inside scan
             pair_cls = nn.remat(SwinBlockPair, static_argnums=(3,),
-                                prevent_cse=False)
+                                prevent_cse=False, policy=policy)
         features = []
         for stage, depth in enumerate(self.depths):
             if stage > 0:
@@ -342,6 +379,7 @@ class SwinEncoder(nn.Module):
                     num_heads=self.num_heads[stage],
                     window_size=self.window_size,
                     mlp_ratio=self.mlp_ratio,
+                    fused_attention=self.fused_attention,
                     dtype=self.dtype,
                     name=f"stage{stage}_scan",
                 )(x, rates, train)
@@ -355,6 +393,7 @@ class SwinEncoder(nn.Module):
                         shift=0 if b % 2 == 0 else self.window_size // 2,
                         mlp_ratio=self.mlp_ratio,
                         drop_path=float(dpr[block_id]),
+                        fused_attention=self.fused_attention,
                         dtype=self.dtype,
                         name=f"stage{stage}_block{b}",
                     )(x, train)  # positional: remat static_argnums=(2,)
@@ -395,5 +434,12 @@ def build_swin(name: str, config=None, dtype=jnp.float32) -> SwinEncoder:
         # TPU tiles — ~1.4x faster at 512^2. The weight converter
         # interpolates rel-pos bias tables between window sizes.
         window = int(config.get("model.encoder.window_size", 7))
+    remat_policy = "full"
+    fused_attention = True
+    if config is not None:
+        remat_policy = str(config.get("model.encoder.remat_policy", "full"))
+        fused_attention = bool(
+            config.get("model.encoder.fused_attention", False))
     return SwinEncoder(dtype=dtype, drop_path_rate=drop_path, remat=remat,
-                       window_size=window, **kwargs)
+                       remat_policy=remat_policy, window_size=window,
+                       fused_attention=fused_attention, **kwargs)
