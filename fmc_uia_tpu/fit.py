@@ -118,9 +118,12 @@ def fit(config_path: Optional[str] = None, config=None,
     rng = set_seed(config.seed)
 
     logger = TrainingLogger(config.output_dir, config.exp_name)
-    logger.save_config(config.config)
 
     train_engine, val_engine, registry = build_data_engines(config)
+    # snapshot AFTER the dataset-derived task override so the experiment's
+    # config.yaml can rebuild the exact trained model (predict.py relies on
+    # this; the reference snapshots before the override, train.py:538)
+    logger.save_config(config.config)
     model = build_model(config, registry)
     variables = init_variables(model, jax.random.PRNGKey(config.seed),
                                config.image_size, 1)

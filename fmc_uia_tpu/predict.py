@@ -19,7 +19,11 @@ import argparse
 
 def main():
     parser = argparse.ArgumentParser(description="Run inference + export")
-    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--config", type=str, default=None,
+                        help="config path; defaults to the experiment dir's "
+                             "config.yaml snapshot (which records the "
+                             "dataset-derived task universe the model was "
+                             "actually built with)")
     parser.add_argument("--checkpoint", type=str, required=True,
                         help="experiment dir containing best_model/")
     parser.add_argument("--data", type=str, required=True,
@@ -37,7 +41,15 @@ def main():
     from fmc_uia_tpu.models.multitask import init_variables
     from fmc_uia_tpu.tasks import TaskRegistry
 
-    config = load_config(args.config)
+    import os
+
+    config_path = args.config
+    if config_path is None:
+        config_path = os.path.join(args.checkpoint, "config.yaml")
+        if not os.path.exists(config_path):
+            raise FileNotFoundError(
+                f"No --config given and {config_path} not found")
+    config = load_config(config_path)
     registry = TaskRegistry.from_config(config)
     model = build_model(config, registry)
     variables = init_variables(model, jax.random.PRNGKey(0),
