@@ -36,8 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _kernel(q_ref, k_ref, v_ref, addmask_ref, out_ref, *, G, N, dh, scale):
-    # q/k/v refs: [1, G, N, dh]; addmask: [1, G, N, N]; out: [1, G, N, dh]
+def _kernel(q_ref, k_ref, v_ref, bd_ref, out_ref, *, G, N, dh, scale):
+    # q/k/v refs: [1, G, N, dh]; bd (block-diag additive mask, precomputed
+    # outside): [1, 1, G*N, G*N]; out: [1, G, N, dh]
     q = q_ref[...].reshape(G * N, dh).astype(jnp.float32)
     k = k_ref[...].reshape(G * N, dh).astype(jnp.float32)
     v = v_ref[...].reshape(G * N, dh).astype(jnp.float32)
@@ -47,22 +48,7 @@ def _kernel(q_ref, k_ref, v_ref, addmask_ref, out_ref, *, G, N, dh, scale):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [G*N, G*N]
-
-    # block-diagonal structure: row window == col window
-    row_win = jax.lax.broadcasted_iota(jnp.int32, (G * N, G * N), 0) // N
-    col_win = jax.lax.broadcasted_iota(jnp.int32, (G * N, G * N), 1) // N
-    on_diag = row_win == col_win
-
-    # place each window's bias(+shift mask) on its diagonal block:
-    # tile the [N, N] block across the [G*N, G*N] grid (pltpu.repeat) and
-    # select only that window's block (no dynamic_update_slice in Mosaic).
-    bias_full = jnp.zeros((G * N, G * N), jnp.float32)
-    for g in range(G):
-        tiled = pltpu.repeat(
-            pltpu.repeat(addmask_ref[0, g], G, 0), G, 1)
-        sel = on_diag & (row_win == g)
-        bias_full = jnp.where(sel, tiled, bias_full)
-    scores = jnp.where(on_diag, scores + bias_full, NEG_INF)
+    scores = scores + bd_ref[0, 0]
 
     m = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -74,6 +60,22 @@ def _kernel(q_ref, k_ref, v_ref, addmask_ref, out_ref, *, G, N, dh, scale):
         preferred_element_type=jnp.float32,
     )  # [G*N, dh]
     out_ref[...] = out.reshape(1, G, N, dh).astype(out_ref.dtype)
+
+
+def _block_diag_mask(addmask: jax.Array, G: int) -> jax.Array:
+    """[H, nW, N, N] per-window additive -> [H, nW//G, G*N, G*N] with the
+    windows' masks on the diagonal blocks and NEG_INF elsewhere (computed
+    once outside the kernel; tiny vs activations)."""
+    H, nW, N, _ = addmask.shape
+    T = nW // G
+    grouped = addmask.reshape(H, T, G, N, N)
+    eye = jnp.eye(G, dtype=addmask.dtype)  # [G, G]
+    # place block g at (g, g): out[h,t, g1*N+i, g2*N+j]
+    bd = jnp.einsum("htgij,gk->htgikj", grouped, eye)  # [H,T,G,N,G,N]
+    bd = bd.transpose(0, 1, 2, 3, 4, 5).reshape(H, T, G * N, G * N)
+    off = (1.0 - jnp.kron(jnp.eye(G, dtype=addmask.dtype),
+                          jnp.ones((N, N), addmask.dtype))) * NEG_INF
+    return bd + off[None, None]
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "G"))
@@ -93,6 +95,7 @@ def _fused_fwd(qkv: jax.Array, addmask: jax.Array, num_heads: int, G: int):
 
     n_tiles = Bn // G
     tiles_per_image_mask = max(1, nW // G)
+    bd = _block_diag_mask(addmask.astype(jnp.float32), G)
 
     def qkv_spec():
         return pl.BlockSpec((1, G, N, dh), lambda i, h: (h, i, 0, 0),
@@ -102,7 +105,7 @@ def _fused_fwd(qkv: jax.Array, addmask: jax.Array, num_heads: int, G: int):
         grid=(n_tiles, H),
         in_specs=[
             qkv_spec(), qkv_spec(), qkv_spec(),
-            pl.BlockSpec((1, G, N, N),
+            pl.BlockSpec((1, 1, G * N, G * N),
                          lambda i, h: (h, i % tiles_per_image_mask, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -113,7 +116,7 @@ def _fused_fwd(qkv: jax.Array, addmask: jax.Array, num_heads: int, G: int):
         functools.partial(_kernel, G=G, N=N, dh=dh, scale=scale),
         out_shape=jax.ShapeDtypeStruct((H, Bn, N, dh), qkv.dtype),
         grid_spec=grid_spec,
-    )(q, k, v, addmask)
+    )(q, k, v, bd)
     return out.transpose(1, 2, 0, 3).reshape(Bn, N, C)
 
 
