@@ -46,18 +46,25 @@ def save_checkpoint(ckpt_dir, state, epoch: int, best_score: float,
 
 
 def latest_checkpoint(ckpt_dir) -> Optional[Tuple[Path, Dict]]:
+    """Newest checkpoint under ``ckpt_dir`` — searched directly AND one
+    level down (fit() writes into timestamped experiment subdirs, so
+    resume is typically given the experiment's parent output_dir)."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
-    best, best_epoch = None, -1
-    for meta_file in ckpt_dir.glob("checkpoint_epoch_*.meta.json"):
+    best, best_epoch, best_mtime = None, -1, -1.0
+    metas = list(ckpt_dir.glob("checkpoint_epoch_*.meta.json")) + list(
+        ckpt_dir.glob("*/checkpoint_epoch_*.meta.json"))
+    for meta_file in metas:
         with open(meta_file) as f:
             meta = json.load(f)
-        if meta["epoch"] > best_epoch:
-            path = meta_file.with_suffix("").with_suffix("")  # strip .meta.json
-            path = ckpt_dir / f"checkpoint_epoch_{meta['epoch']}"
-            if path.exists():
-                best, best_epoch = (path, meta), meta["epoch"]
+        path = meta_file.parent / f"checkpoint_epoch_{meta['epoch']}"
+        if not path.exists():
+            continue
+        mtime = meta_file.stat().st_mtime
+        if (meta["epoch"], mtime) > (best_epoch, best_mtime):
+            best = (path, meta)
+            best_epoch, best_mtime = meta["epoch"], mtime
     return best
 
 
