@@ -148,6 +148,7 @@ def fit(config_path: Optional[str] = None, config=None,
             trainer.state = ckpt_lib.restore_checkpoint(path, trainer.state)
             start_epoch = meta["epoch"]
             best_val_score = meta["best_score"]
+            best_epoch = start_epoch  # the restored best is <= this epoch
             for _ in range(start_epoch):
                 trainer.scheduler.step()
             print(f"Resumed from {path} at epoch {start_epoch}")
