@@ -480,6 +480,23 @@ class Trainer:
 
         loss_fns, loss_weights, adaptive_log_vars = (
             losses_lib.build_all_losses(config, registry))
+        # guided config-mismatch error (reference loss_functions.py:72-79):
+        # a CenterNet loss needs the dict-output centernet head and vice versa
+        if registry.num_of_type(DETECTION) > 0:
+            det_loss = str(config.get_loss_config(
+                "detection").get("type", "CenterNet")).lower()
+            det_head = str(config.get(
+                "model.heads.detection.type", "centernet")).lower()
+            use_baseline = bool(config.get("model.heads.use_baseline", False))
+            head_is_centernet = det_head == "centernet" and not use_baseline
+            loss_is_centernet = det_loss in ("centernet", "")
+            if head_is_centernet != loss_is_centernet:
+                raise ValueError(
+                    f"Detection head/loss mismatch: head type {det_head!r} "
+                    f"vs loss type {det_loss!r}. Fix: set "
+                    "training.loss_configs.detection.type='Detection' for a "
+                    "grid head, or model.heads.detection.type='centernet' "
+                    "for the CenterNet loss.")
         self.loss_fns = loss_fns
         self.loss_weights = loss_weights
         self.use_adaptive = adaptive_log_vars is not None

@@ -204,3 +204,19 @@ def test_lr_scheduler_plateau():
     assert sch.current_scale() == 1.0
     sch.step(0.4)   # bad=2 > patience -> reduce
     assert sch.current_scale() == 0.5
+
+
+def test_detection_head_loss_mismatch_guard(synth_root):
+    """Guided config error (reference loss_functions.py:72-79 analogue)."""
+    import jax as _jax
+    from fmc_uia_tpu.models.multitask import init_variables as _iv
+    from fmc_uia_tpu.models import build_model as _bm
+    from fmc_uia_tpu.tasks import TaskRegistry as _TR
+
+    cfg = make_cfg(synth_root,
+                   training={"loss_configs": {"detection": {"type": "Detection"}}})
+    reg = _TR.from_config(cfg)
+    model = _bm(cfg, reg)
+    v = _iv(model, _jax.random.PRNGKey(0), S, 2)
+    with pytest.raises(ValueError, match="head/loss mismatch"):
+        Trainer(cfg, model, reg, v["params"], _jax.random.PRNGKey(0))
