@@ -38,7 +38,6 @@ def log(msg):
 
 def build_bench(encoder: str, image_size: int, batch: int):
     import jax
-    import jax.numpy as jnp
 
     from fmc_uia_tpu.config import load_config
     from fmc_uia_tpu.models import build_model

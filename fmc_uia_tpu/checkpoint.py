@@ -15,9 +15,8 @@ full checkpoints, with no resume path (reference train.py:692-727; SURVEY.md
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp

@@ -13,7 +13,7 @@ single-task batches; same reasoning as the encoders).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

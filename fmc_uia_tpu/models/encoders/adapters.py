@@ -14,7 +14,7 @@ TPU re-designs of the reference's adapter stack (reference encoders.py):
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

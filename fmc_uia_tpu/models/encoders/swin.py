@@ -21,7 +21,6 @@ Variants (reference encoders.py:14-20 name map):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -22,7 +22,7 @@ Outputs are NHWC; class counts padded to the per-type max (mask in losses).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,6 @@ from fmc_uia_tpu.models.layers import (
     BankedGroupNorm,
     BankedMLP,
     gn_groups,
-    resize_to,
     upsample_2x,
 )
 from fmc_uia_tpu.tasks import (

@@ -19,7 +19,7 @@ Key structural differences (all deliberate, see package docstring):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

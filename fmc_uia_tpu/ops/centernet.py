@@ -19,7 +19,7 @@ Layout is NHWC (heatmap [B,H,W,1], size/offset [B,H,W,2]).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,6 @@ callers use the XLA path), G | nW so a window tile never crosses an image.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,8 +20,6 @@ a new first-class subsystem.
 from __future__ import annotations
 
 import re
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

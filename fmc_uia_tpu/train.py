@@ -25,22 +25,17 @@ Optimizer parity notes (reference train.py:176-253):
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from fmc_uia_tpu import losses as losses_lib
 from fmc_uia_tpu.ops.centernet import make_centernet_targets
-from fmc_uia_tpu.ops.image import (
-    augment_and_normalize,
-    input_prep_fns,
-    random_flips,
-)
+from fmc_uia_tpu.ops.image import input_prep_fns, random_flips
 from fmc_uia_tpu.tasks import (
     CLASSIFICATION,
     DETECTION,
