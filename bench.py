@@ -31,9 +31,45 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 REFERENCE_A100_IPS_ESTIMATE = 75.0
 
+# The axon remote-compile tunnel is flaky under load ("read body: response
+# body closed", 500s). Round 1's official bench died on one of these
+# (BENCH_r01 rc=1); every compile/step is now retried with backoff.
+TRANSIENT_MARKERS = (
+    "remote_compile", "read body", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+    "Connection reset", "connection", "Socket closed", "EOF",
+    "ABORTED", "http://",
+)
+
+
+def is_transient(exc: Exception) -> bool:
+    msg = f"{type(exc).__name__}: {exc}"
+    oom = ("RESOURCE_EXHAUSTED", "Out of memory", "OOM")
+    if any(m in msg for m in oom):
+        return False
+    return any(m in msg for m in TRANSIENT_MARKERS)
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def step_with_retry(trainer, batch, tries=4):
+    """One train step, retrying transient tunnel failures with backoff.
+
+    Donated input buffers survive a compile-phase failure (donation happens
+    at execution), so retrying the same call is safe; if the state WAS
+    consumed the retry raises a deleted-buffer error, which the outer
+    whole-benchmark retry handles by rebuilding."""
+    for i in range(tries):
+        try:
+            return trainer.train_batch(batch, epoch=0)
+        except Exception as e:
+            if not is_transient(e) or i == tries - 1:
+                raise
+            wait = 10 * (i + 1)
+            log(f"transient step failure ({type(e).__name__}: "
+                f"{str(e)[:200]}); retry {i + 1}/{tries - 1} in {wait}s")
+            time.sleep(wait)
 
 
 def build_bench(encoder: str, image_size: int, batch: int):
@@ -104,21 +140,32 @@ def run_benchmark(encoder, image_size, batch, steps):
     trainer, batches, registry = build_bench(encoder, image_size, batch)
     types = list(batches)
 
-    # warmup: compile all 4 programs
+    # warmup: compile all 4 programs (retried — compiles ride the tunnel)
     for t in types:
         t0 = time.time()
-        logs = trainer.train_batch(batches[t], epoch=0)
+        logs = step_with_retry(trainer, batches[t])
         jax.block_until_ready(logs["total_loss"])
         log(f"compile+first-step [{t}]: {time.time() - t0:.1f}s")
 
-    # steady-state: uniform round-robin like the training sampler
+    # steady-state: uniform round-robin like the training sampler.
+    # A transient mid-timing restarts the timed window (programs stay
+    # compiled in-process, so a restart is cheap).
     sched = np.random.RandomState(42)
     order = [types[sched.randint(len(types))] for _ in range(steps)]
-    t0 = time.time()
-    for t in order:
-        trainer.train_batch(batches[t], epoch=0)
-    jax.block_until_ready(trainer.state.step)
-    elapsed = time.time() - t0
+    for attempt in range(3):
+        try:
+            t0 = time.time()
+            for t in order:
+                trainer.train_batch(batches[t], epoch=0)
+            jax.block_until_ready(trainer.state.step)
+            elapsed = time.time() - t0
+            break
+        except Exception as e:
+            if not is_transient(e) or attempt == 2:
+                raise
+            log(f"transient during timed window "
+                f"({str(e)[:200]}); restarting timing")
+            time.sleep(10)
     ips = steps * batch / elapsed
     log(f"{steps} steps x batch {batch} in {elapsed:.2f}s -> "
         f"{ips:.2f} img/s")
@@ -137,16 +184,28 @@ def main():
 
     ips = None
     for batch in candidates:
-        try:
-            ips = run_benchmark(encoder, image_size, batch, steps)
+        # outer retry: rebuild-from-scratch for transient failures that
+        # poisoned donated state (deleted buffers) or leaked through
+        for rebuild in range(3):
+            try:
+                ips = run_benchmark(encoder, image_size, batch, steps)
+                break
+            except Exception as e:
+                msg = str(e)
+                log(f"batch {batch} failed: {type(e).__name__}: {msg[:500]}")
+                oom_markers = ("RESOURCE_EXHAUSTED", "Out of memory",
+                               "Allocation", "exceeds", "OOM", "memory")
+                if any(m in msg for m in oom_markers):
+                    break  # -> next smaller batch
+                poisoned = ("deleted" in msg or "donated" in msg
+                            or is_transient(e))
+                if not poisoned or rebuild == 2:
+                    raise
+                log(f"rebuilding benchmark (attempt {rebuild + 2}/3) "
+                    f"after transient failure")
+                time.sleep(20)
+        if ips is not None:
             break
-        except Exception as e:  # OOM -> retry smaller batch
-            msg = str(e)
-            log(f"batch {batch} failed: {type(e).__name__}: {msg[:500]}")
-            oom_markers = ("RESOURCE_EXHAUSTED", "Out of memory",
-                           "Allocation", "exceeds", "OOM", "memory")
-            if not any(m in msg for m in oom_markers):
-                raise
     if ips is None:
         raise RuntimeError("all batch sizes failed")
 

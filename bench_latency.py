@@ -76,13 +76,14 @@ def main():
             labels = jnp.zeros((batch, 8), jnp.float32)
             tid = "T5_fetal_femur"
         tindex = jnp.int32(registry[tid].global_index)
+        valid = jnp.ones((batch,), bool)
 
-        out = step(params, images, labels, tindex)  # compile
+        out = step(params, images, labels, tindex, valid)  # compile
         jax.block_until_ready(out)
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            out = step(params, images, labels, tindex)
+            out = step(params, images, labels, tindex, valid)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
         arr = np.asarray(times) * 1e3 / batch  # ms per image

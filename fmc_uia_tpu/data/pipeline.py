@@ -42,20 +42,28 @@ def split_train_val(dataframe, val_split: float, seed: int
     return train_indices, val_indices
 
 
-def _collate(samples: Sequence[Dict], registry: TaskRegistry) -> Dict:
-    """Stack one single-task batch into fixed-shape arrays."""
+def _collate(samples: Sequence[Dict], registry: TaskRegistry,
+             n_valid: Optional[int] = None) -> Dict:
+    """Stack one single-task batch into fixed-shape arrays.
+
+    ``n_valid``: number of real samples when the batch was padded to a fixed
+    size (final eval chunks); the ``valid`` mask lets the jitted eval steps
+    ignore padding without recompiling per residual shape."""
     task_id = samples[0]["task_id"]
     spec = registry[task_id]
     images = np.stack([s["image"] for s in samples])
     if images.dtype != np.float32:  # adaptive-norm path yields float32
         images = images.astype(np.uint8)
     labels = np.stack([s["label"] for s in samples])
+    B = len(samples)
+    valid = np.arange(B) < (B if n_valid is None else n_valid)
     return {
         "image": images,
         "label": labels,
         "task_id": task_id,
         "task_index": spec.global_index,
         "task_type": spec.task_name,
+        "valid": valid,
     }
 
 
@@ -116,8 +124,14 @@ class DataEngine:
                 yield chunk
 
     def _load_batch(self, rows: List[int]) -> Dict:
+        n_valid = len(rows)
+        if not self.drop_last and n_valid < self.batch_size:
+            # pad the final eval chunk to the fixed batch size (repeat the
+            # last row); keeps every batch the same shape so the 4 jitted
+            # eval steps never recompile on residual sizes
+            rows = rows + [rows[-1]] * (self.batch_size - n_valid)
         samples = list(self._pool.map(self.dataset.__getitem__, rows))
-        return _collate(samples, self.registry)
+        return _collate(samples, self.registry, n_valid=n_valid)
 
     def __iter__(self) -> Iterator[Dict]:
         stream = (self._train_batches() if self.sampler is not None

@@ -164,8 +164,13 @@ def export_predictions(model, params, data_root: str, out_dir: str,
                 names.append(os.path.basename(str(row["image_path"])))
             if not images:
                 continue
+            n_real = len(images)
+            if n_real < batch_size:
+                # pad to the fixed batch size (repeat the last image) so the
+                # jitted predict fns never recompile on residual chunks
+                images = images + [images[-1]] * (batch_size - n_real)
             batch = np.stack(images)
-            preds = predictor.predict_images(batch, task_id)
+            preds = predictor.predict_images(batch, task_id)[:n_real]
 
             for j, name in enumerate(names):
                 oh, ow = orig_sizes[j]

@@ -129,6 +129,29 @@ def fit(config_path: Optional[str] = None, config=None,
                                config.image_size, 1)
     print(f"Model parameters: {count_parameters(variables['params']):,}")
 
+    # pretrained encoder init (reference encoders.py:53-59 pretrained=True
+    # downloads from timm; zero-egress here, so the config value is a LOCAL
+    # torch checkpoint path converted offline — utils/convert.py)
+    pretrained = config.get("model.encoder.pretrained")
+    if isinstance(pretrained, str) and pretrained not in ("", "none"):
+        import os
+
+        from fmc_uia_tpu.utils.convert import load_pretrained_encoder
+
+        if not os.path.exists(pretrained):
+            raise FileNotFoundError(
+                f"model.encoder.pretrained={pretrained!r} not found; expect "
+                "a local timm-format torch checkpoint (.pth/.bin)")
+        variables["params"]["encoder"] = load_pretrained_encoder(
+            config.get("model.encoder.name"), pretrained,
+            variables["params"]["encoder"])
+        print(f"Loaded pretrained encoder weights from {pretrained}")
+    elif pretrained is True:
+        print("WARNING: model.encoder.pretrained=true requests a timm "
+              "download (reference behavior); this environment has no "
+              "egress — set it to a local checkpoint path instead. "
+              "Training from scratch.")
+
     trainer = Trainer(config, model, registry, variables["params"], rng,
                       mesh=mesh)
 
@@ -212,7 +235,9 @@ def fit(config_path: Optional[str] = None, config=None,
             best_epoch = epoch + 1
             ckpt_lib.save_best_params(ckpt_dir, trainer.model_params)
 
-        trainer.scheduler.step(avg_val_score)
+        # skip epochs carry no validation signal: pass None so plateau mode
+        # doesn't count -inf as a "bad" epoch (VERDICT r1 #8)
+        trainer.scheduler.step(avg_val_score if run_val else None)
 
         if save_ckpts and (epoch + 1) % ckpt_freq == 0:
             ckpt_lib.save_checkpoint(ckpt_dir, trainer.state, epoch + 1,

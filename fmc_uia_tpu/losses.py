@@ -245,17 +245,39 @@ def detection_grid_loss(
 # --------------------------------------------------------------------------
 # Regression
 # --------------------------------------------------------------------------
-def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+def _masked_col_mean(per_elem: jax.Array, num_valid_cols) -> jax.Array:
+    """Mean over the first ``num_valid_cols`` trailing columns only.
+
+    Banked regression heads pad outputs/labels to 2*Pmax columns across
+    tasks; padded columns must not contribute to the loss (they carry
+    arbitrary head outputs vs zero-padded labels)."""
+    if num_valid_cols is None:
+        return jnp.mean(per_elem)
+    D = per_elem.shape[-1]
+    mask = (jnp.arange(D) < num_valid_cols).astype(jnp.float32)
+    denom = per_elem.shape[0] * jnp.maximum(
+        num_valid_cols.astype(jnp.float32)
+        if hasattr(num_valid_cols, "astype") else float(num_valid_cols),
+        1.0)
+    return jnp.sum(per_elem * mask) / denom
+
+
+def mse_loss(pred: jax.Array, target: jax.Array,
+             num_valid_cols=None) -> jax.Array:
     d = pred.astype(jnp.float32) - target.astype(jnp.float32)
-    return jnp.mean(d * d)
+    return _masked_col_mean(d * d, num_valid_cols)
 
 
-def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+def l1_loss(pred: jax.Array, target: jax.Array,
+            num_valid_cols=None) -> jax.Array:
+    d = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    return _masked_col_mean(d, num_valid_cols)
 
 
-def smooth_l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
-    return jnp.mean(smooth_l1(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+def smooth_l1_loss(pred: jax.Array, target: jax.Array,
+                   num_valid_cols=None) -> jax.Array:
+    d = smooth_l1(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    return _masked_col_mean(d, num_valid_cols)
 
 
 # --------------------------------------------------------------------------

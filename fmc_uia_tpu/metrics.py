@@ -48,9 +48,13 @@ def masked_argmax(logits: jax.Array, num_valid_classes: jax.Array) -> jax.Array:
 
 
 def dice_coefficient(labels: jax.Array, logits: jax.Array,
-                     num_valid_classes: Optional[jax.Array] = None) -> jax.Array:
+                     num_valid_classes: Optional[jax.Array] = None,
+                     sample_mask: Optional[jax.Array] = None) -> jax.Array:
     """Foreground Dice over the whole batch (reference metrics 28-37):
-    one-hot both, drop class 0, single ratio over all foreground classes."""
+    one-hot both, drop class 0, single ratio over all foreground classes.
+
+    ``sample_mask`` [B] zeroes padded samples' contributions to both the
+    intersection and union sums."""
     C = logits.shape[-1]
     if num_valid_classes is not None:
         valid = jnp.arange(C) < num_valid_classes
@@ -58,17 +62,42 @@ def dice_coefficient(labels: jax.Array, logits: jax.Array,
     pred = jnp.argmax(logits, axis=-1)
     t = jax.nn.one_hot(labels, C, dtype=jnp.float32)[..., 1:]
     p = jax.nn.one_hot(pred, C, dtype=jnp.float32)[..., 1:]
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32).reshape(
+            (-1,) + (1,) * (t.ndim - 1))
+        t = t * m
+        p = p * m
     inter = jnp.sum(t * p)
     union = jnp.sum(t) + jnp.sum(p)
     return (2.0 * inter + 1e-6) / (union + 1e-6)
 
 
 def mae_pixels(labels: jax.Array, preds: jax.Array,
-               image_size=MAE_DENORM_SIZE) -> jax.Array:
-    """Mean absolute error in pixels (reference metrics 40-49)."""
+               image_size=MAE_DENORM_SIZE,
+               num_valid_cols=None,
+               sample_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Mean absolute error in pixels (reference metrics 40-49).
+
+    ``num_valid_cols`` masks padded point columns (banked heads pad to
+    2*Pmax across regression tasks); ``sample_mask`` [B] masks padded
+    samples in fixed-shape eval batches."""
     h, w = image_size
-    scale = jnp.where(jnp.arange(labels.shape[-1]) % 2 == 0, w, h)
-    return jnp.mean(jnp.abs(labels * scale - preds * scale))
+    D = labels.shape[-1]
+    scale = jnp.where(jnp.arange(D) % 2 == 0, w, h)
+    err = jnp.abs(labels * scale - preds * scale)
+    if num_valid_cols is None and sample_mask is None:
+        return jnp.mean(err)
+    col_mask = jnp.ones((D,), jnp.float32)
+    n_cols = jnp.asarray(D, jnp.float32)
+    if num_valid_cols is not None:
+        col_mask = (jnp.arange(D) < num_valid_cols).astype(jnp.float32)
+        n_cols = jnp.maximum(jnp.asarray(num_valid_cols, jnp.float32), 1.0)
+    row_mask = jnp.ones((err.shape[0],), jnp.float32)
+    n_rows = jnp.asarray(err.shape[0], jnp.float32)
+    if sample_mask is not None:
+        row_mask = sample_mask.astype(jnp.float32)
+        n_rows = jnp.maximum(jnp.sum(row_mask), 1.0)
+    return jnp.sum(err * col_mask * row_mask[:, None]) / (n_rows * n_cols)
 
 
 def batch_iou(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
@@ -129,23 +158,24 @@ def make_eval_steps(model, variables_treedef_params, registry: TaskRegistry,
             return normalize_images(images, mean, std, dtype=jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=())
-    def seg_step(params, images, labels, task_index):
+    def seg_step(params, images, labels, task_index, valid):
         out = model.apply({"params": params}, _prep(images), SEGMENTATION,
                           task_index, train=False)
         if isinstance(out, tuple):  # deep supervision: main only
             out = out[0]
         ncls = jnp.take(nc_table, task_index)
-        return {"dice": dice_coefficient(labels, out, ncls)}
+        return {"dice": dice_coefficient(labels, out, ncls,
+                                         sample_mask=valid)}
 
     @jax.jit
-    def cls_step(params, images, labels, task_index):
+    def cls_step(params, images, labels, task_index, valid):
         out = model.apply({"params": params}, _prep(images), CLASSIFICATION,
                           task_index, train=False)
         ncls = jnp.take(nc_table, task_index)
         return {"preds": masked_argmax(out, ncls), "labels": labels}
 
     @jax.jit
-    def det_step(params, images, labels, task_index):
+    def det_step(params, images, labels, task_index, valid):
         out = model.apply({"params": params}, _prep(images), DETECTION,
                           task_index, train=False)
         if isinstance(out, dict):
@@ -155,18 +185,21 @@ def make_eval_steps(model, variables_treedef_params, registry: TaskRegistry,
                 out["offset"].astype(jnp.float32))
         else:
             boxes = decode_grid_detection(out.astype(jnp.float32))
-        valid = jnp.all(labels >= 0, axis=1)
+        valid_gt = jnp.all(labels >= 0, axis=1) & valid
         ious = batch_iou(labels, boxes)
-        n_valid = jnp.sum(valid.astype(jnp.float32))
-        mean_iou = jnp.sum(jnp.where(valid, ious, 0.0)) / jnp.maximum(
+        n_valid = jnp.sum(valid_gt.astype(jnp.float32))
+        mean_iou = jnp.sum(jnp.where(valid_gt, ious, 0.0)) / jnp.maximum(
             n_valid, 1.0)
         return {"iou": mean_iou, "n_valid": n_valid, "boxes": boxes}
 
     @jax.jit
-    def reg_step(params, images, labels, task_index):
+    def reg_step(params, images, labels, task_index, valid):
         out = model.apply({"params": params}, _prep(images), REGRESSION,
                           task_index, train=False)
-        return {"mae": mae_pixels(labels, out), "preds": out}
+        ncls = jnp.take(nc_table, task_index)
+        return {"mae": mae_pixels(labels, out, num_valid_cols=2 * ncls,
+                                  sample_mask=valid),
+                "preds": out}
 
     return {
         SEGMENTATION: seg_step,
@@ -190,11 +223,14 @@ def evaluate(model, params, val_engine, registry: TaskRegistry, mean, std,
         images = jnp.asarray(batch["image"])
         labels = jnp.asarray(batch["label"])
         tindex = jnp.int32(batch["task_index"])
-        stats = steps[ttype](params, images, labels, tindex)
+        valid_np = np.asarray(batch.get(
+            "valid", np.ones((images.shape[0],), bool)))
+        stats = steps[ttype](params, images, labels, tindex,
+                             jnp.asarray(valid_np))
 
         if ttype == CLASSIFICATION:
-            y_pred = np.asarray(stats["preds"])
-            y_true = np.asarray(stats["labels"])
+            y_pred = np.asarray(stats["preds"])[valid_np]
+            y_true = np.asarray(stats["labels"])[valid_np]
             task_metrics[tid]["Accuracy"].append(
                 accuracy_score_host(y_true, y_pred))
             task_metrics[tid]["F1-Score"].append(

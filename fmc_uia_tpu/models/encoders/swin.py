@@ -206,6 +206,11 @@ class SwinBlock(nn.Module):
                    else self.drop_path)
         B, H, W, C = x.shape
         ws = self.window_size
+        # timm parity: when one window already covers the grid, shifting is
+        # meaningless — timm sets shift_size=0 (SwinTransformerBlock init);
+        # shifting+region-masking here would instead RESTRICT attention.
+        # H/W are static at trace time, so this is a compile-time branch.
+        shift = self.shift if min(H, W) > ws else 0
         hp = -(-H // ws) * ws
         wp = -(-W // ws) * ws
         pad = (hp != H) or (wp != W)
@@ -214,13 +219,13 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         if pad:
             y = jnp.pad(y, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
-        if self.shift > 0:
-            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
 
         # static additive attention mask (shift regions + padding)
         mask_np = None
-        if self.shift > 0:
-            mask_np = _shift_attn_mask(hp, wp, ws, self.shift)
+        if shift > 0:
+            mask_np = _shift_attn_mask(hp, wp, ws, shift)
         if pad:
             # padded cells as keys must be hidden; under cyclic shift the
             # shift mask's region ids already separate wrapped content, but
@@ -228,8 +233,8 @@ class SwinBlock(nn.Module):
             # map the same way the features are rolled.
             valid = np.zeros((hp, wp), np.bool_)
             valid[:H, :W] = True
-            if self.shift > 0:
-                valid = np.roll(valid, (-self.shift, -self.shift),
+            if shift > 0:
+                valid = np.roll(valid, (-shift, -shift),
                                 axis=(0, 1))
             vw = valid.reshape(hp // ws, ws, wp // ws, ws)
             vw = vw.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
@@ -244,8 +249,8 @@ class SwinBlock(nn.Module):
             dtype=self.dtype, name="attn")(windows, attn_mask)
         y = window_unpartition(windows, ws, hp, wp)
 
-        if self.shift > 0:
-            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
         if pad:
             y = y[:, :H, :W, :]
         x = shortcut + DropPath(name="drop_path1")(

@@ -64,7 +64,13 @@ class ViTBlock(nn.Module):
 
 
 class ViTBackbone(nn.Module):
-    """Patch-embed ViT returning token maps at ``out_indices`` blocks."""
+    """Patch-embed ViT returning token maps at ``out_indices`` blocks.
+
+    ``num_prefix_tokens``: learned cls/register tokens prepended to the
+    patch sequence (timm parity: cls=1, DINOv3 adds 4 register tokens).
+    Prefix tokens participate in attention and are stripped from the
+    spatial outputs — converted timm/DINO checkpoints are numerically
+    faithful only with the same prefix-token count."""
 
     embed_dim: int = 768
     depth: int = 12
@@ -72,6 +78,7 @@ class ViTBackbone(nn.Module):
     patch_size: int = 16
     out_indices: Sequence[int] = (2, 5, 8, 11)
     mlp_ratio: float = 4.0
+    num_prefix_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -79,15 +86,24 @@ class ViTBackbone(nn.Module):
         del train
         B, H, W, _ = x.shape
         p = self.patch_size
+        P = int(self.num_prefix_tokens)
         gh, gw = H // p, W // p
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p),
                     dtype=self.dtype, name="patch_embed")(
             x.astype(self.dtype))
         x = x.reshape(B, gh * gw, self.embed_dim)
 
+        if P > 0:
+            prefix = self.param(
+                "prefix_tokens", nn.initializers.truncated_normal(0.02),
+                (1, P, self.embed_dim), jnp.float32)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(prefix.astype(self.dtype),
+                                  (B, P, self.embed_dim)), x], axis=1)
+
         pos = self.param(
             "pos_embed", nn.initializers.truncated_normal(0.02),
-            (1, gh * gw, self.embed_dim), jnp.float32)
+            (1, P + gh * gw, self.embed_dim), jnp.float32)
         x = x + pos.astype(self.dtype)
 
         outs = []
@@ -97,9 +113,9 @@ class ViTBackbone(nn.Module):
                          mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                          name=f"block{i}")(x)
             if i in want:
-                outs.append(x.reshape(B, gh, gw, self.embed_dim))
+                outs.append(x[:, P:, :].reshape(B, gh, gw, self.embed_dim))
         if not outs:
-            outs = [x.reshape(B, gh, gw, self.embed_dim)]
+            outs = [x[:, P:, :].reshape(B, gh, gw, self.embed_dim)]
         return outs
 
 
@@ -119,6 +135,7 @@ class ViTMultiScaleEncoder(nn.Module):
     interaction_points: int = 4
     interaction_offset_range: float = 0.25
     vit_layer_mapping: Optional[Sequence[int]] = None
+    num_prefix_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -130,7 +147,8 @@ class ViTMultiScaleEncoder(nn.Module):
         raw = ViTBackbone(
             embed_dim=self.embed_dim, depth=self.depth,
             num_heads=self.num_heads, patch_size=self.patch_size,
-            out_indices=tuple(self.out_indices), dtype=self.dtype,
+            out_indices=tuple(self.out_indices),
+            num_prefix_tokens=self.num_prefix_tokens, dtype=self.dtype,
             name="backbone",
         )(x, train=train)
         raw = raw[:4]
@@ -224,10 +242,21 @@ def build_vit_encoder(name: str, config, dtype=jnp.float32
     adapter_channels = int(
         adapter_cfg.get("channels", enc_cfg.get("adapter_channels", 256)))
 
+    # timm/DINO checkpoints carry a cls token (+4 register tokens for
+    # DINOv3); pretrained loading is only numerically faithful with the
+    # same prefix-token count, so default to 1 (+4) when a pretrained path
+    # is configured. Overridable via model.encoder.num_prefix_tokens.
+    pretrained = enc_cfg.get("pretrained")
+    default_prefix = 0
+    if isinstance(pretrained, str) and pretrained not in ("", "none"):
+        default_prefix = 5 if is_dino else 1
+    num_prefix = int(enc_cfg.get("num_prefix_tokens", default_prefix))
+
     return ViTMultiScaleEncoder(
         patch_size=patch_size,
         adapter_type=adapter_type,
         adapter_channels=adapter_channels,
+        num_prefix_tokens=num_prefix,
         spm_stem_channels=int(adapter_cfg.get("spm_stem_channels", 64)),
         interaction_heads=int(adapter_cfg.get("interaction_heads", 8)),
         interaction_points=int(adapter_cfg.get("interaction_points", 4)),

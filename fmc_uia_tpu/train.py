@@ -312,8 +312,10 @@ def make_train_step(
                 [clean, valid.astype(jnp.float32)[:, None]], axis=1)
             return loss_fn_for_type(picked, targets)
 
-        # Regression
-        return loss_fn_for_type(outputs.astype(jnp.float32), labels)
+        # Regression: mask columns beyond the task's 2*num_points (banked
+        # heads pad to 2*Pmax across tasks; registry num_classes = points)
+        return loss_fn_for_type(outputs.astype(jnp.float32), labels,
+                                num_valid_cols=2 * ncls)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images, labels, task_index,
@@ -532,10 +534,19 @@ class Trainer:
                 rest = {k: v for k, v in new_params.items() if k != "model"}
                 rest = replicate(rest, self.mesh)
                 new_params.update(rest)
+                # rebuild the accumulator from the sharded params so each
+                # shard's zeros inherit the param's layout (accumulation
+                # under TP lost the accumulator before — VERDICT r1 #6)
+                grad_accum = None
+                if self.accum_steps > 1:
+                    grad_accum = jax.tree_util.tree_map(
+                        lambda p: jnp.zeros_like(p, dtype=jnp.float32),
+                        new_params)
                 self.state = TrainState(
                     step=replicate(self.state.step, self.mesh),
                     params=new_params,
                     opt_state=self.tx.init(new_params),
+                    grad_accum=grad_accum,
                 )
             else:
                 self.state = replicate(self.state, self.mesh)

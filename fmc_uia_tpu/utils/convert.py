@@ -105,6 +105,31 @@ def _stack_trees(trees):
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
 
 
+# Patch-merging 2x2 neighborhood concat order differs between timm and our
+# encoder: timm flattens (w, h)-major -> chunks [(h0,w0),(h1,w0),(h0,w1),
+# (h1,w1)] (swin_transformer.py PatchMerging permute(0,1,3,4,2,5)); ours is
+# (h, w)-major -> [(h0,w0),(h0,w1),(h1,w0),(h1,w1)]. Chunks 1 and 2 swap.
+_MERGE_CHUNK_PERM = (0, 2, 1, 3)
+
+
+def _permute_merge_chunks(arr: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Reorder an array's 4C axis from timm chunk order to ours."""
+    chunks = np.split(arr, 4, axis=axis)
+    return np.concatenate([chunks[i] for i in _MERGE_CHUNK_PERM], axis=axis)
+
+
+def _merge_params(sd, base: str) -> Dict:
+    """Convert one timm PatchMerging (norm over 4C + reduction 4C->2C)."""
+    norm = _norm(sd, f"{base}.norm")
+    red = _linear_nobias(sd, f"{base}.reduction")
+    return {
+        "norm": {"scale": _permute_merge_chunks(norm["scale"]),
+                 "bias": _permute_merge_chunks(norm["bias"])},
+        "reduction": {"kernel": _permute_merge_chunks(red["kernel"],
+                                                      axis=0)},
+    }
+
+
 def convert_swin(sd: Dict[str, np.ndarray],
                  depths: Sequence[int] = (2, 2, 18, 2),
                  scan_blocks: bool = True,
@@ -126,12 +151,14 @@ def convert_swin(sd: Dict[str, np.ndarray],
 
     for stage, depth in enumerate(depths):
         if stage > 0:
-            # timm: downsample at END of previous layer
-            ds = f"layers.{stage - 1}.downsample"
-            params[f"merge{stage}"] = {
-                "norm": _norm(sd, f"{ds}.norm"),
-                "reduction": _linear_nobias(sd, f"{ds}.reduction"),
-            }
+            # modern timm (>=0.9): downsample at START of stage `stage`
+            # (layers.{stage}.downsample); original Microsoft / old-timm
+            # layout: at END of the previous stage. Accept both.
+            if f"layers.{stage}.downsample.reduction.weight" in sd:
+                ds = f"layers.{stage}.downsample"
+            else:
+                ds = f"layers.{stage - 1}.downsample"
+            params[f"merge{stage}"] = _merge_params(sd, ds)
         if scan_blocks and depth % 2 == 0 and depth > 0:
             even = [block(stage, b) for b in range(0, depth, 2)]
             odd = [block(stage, b) for b in range(1, depth, 2)]
@@ -145,14 +172,36 @@ def convert_swin(sd: Dict[str, np.ndarray],
     return params
 
 
+def interpolate_pos_embed(grid_pos: np.ndarray,
+                          target_grid: int) -> np.ndarray:
+    """Bicubic-resample a [1, g*g, C] patch pos-embed to a new grid side."""
+    g = int(np.sqrt(grid_pos.shape[1]))
+    if g == target_grid:
+        return grid_pos
+    import jax
+
+    grid = grid_pos.reshape(g, g, -1)
+    out = jax.image.resize(grid, (target_grid, target_grid, grid.shape[-1]),
+                           method="cubic")
+    return np.asarray(out).reshape(
+        1, target_grid * target_grid, -1).astype(np.float32)
+
+
 def convert_vit(sd: Dict[str, np.ndarray], depth: int = 12,
-                prefix: str = "") -> Dict:
+                prefix: str = "", keep_prefix_tokens: bool = True,
+                target_grid: Optional[int] = None) -> Dict:
     """timm plain-ViT state_dict -> ViTBackbone params pytree.
 
-    The cls token is dropped (our backbone is patch-tokens-only); its
-    positional embedding row is discarded accordingly.
+    ``keep_prefix_tokens``: map cls (+register) tokens into the backbone's
+    ``prefix_tokens`` param (numerically faithful to timm); when False they
+    and their pos-embed rows are dropped (patch-tokens-only backbone).
+    ``target_grid``: resample the patch pos-embed grid to this side length.
     """
     g = lambda k: sd[prefix + k]  # noqa: E731
+
+    def has(k):
+        return (prefix + k) in sd
+
     params: Dict = {}
     params["patch_embed"] = {
         "kernel": g("patch_embed.proj.weight").transpose(2, 3, 1, 0)
@@ -160,17 +209,33 @@ def convert_vit(sd: Dict[str, np.ndarray], depth: int = 12,
         "bias": g("patch_embed.proj.bias").astype(np.float32),
     }
     pos = g("pos_embed").astype(np.float32)
-    n_patches_pos = pos.shape[1]
-    # drop prefix-token rows (cls/register tokens)
-    side = int(np.sqrt(n_patches_pos))
-    if side * side != n_patches_pos:
-        n_prefix = n_patches_pos - side * side
-        pos = pos[:, n_prefix:, :]
-    params["pos_embed"] = pos
+    n_rows = pos.shape[1]
+    side = int(np.sqrt(n_rows))
+    n_prefix = 0 if side * side == n_rows else n_rows - side * side
+    prefix_pos, grid_pos = pos[:, :n_prefix, :], pos[:, n_prefix:, :]
+    if target_grid is not None:
+        grid_pos = interpolate_pos_embed(grid_pos, target_grid)
 
-    def sub(k):
-        return {kk[len(prefix):] if kk.startswith(prefix) else kk: vv
-                for kk, vv in sd.items() if kk.startswith(prefix + k)}
+    tokens = []
+    if keep_prefix_tokens:
+        if has("cls_token"):
+            tokens.append(g("cls_token").astype(np.float32))
+        for key in ("reg_token", "register_tokens", "storage_tokens"):
+            if has(key):
+                tokens.append(g(key).astype(np.float32))
+    if tokens:
+        prefix_tokens = np.concatenate(tokens, axis=1)
+        P = prefix_tokens.shape[1]
+        if n_prefix < P:  # registers often have no pos-embed rows (timm
+            # adds none when pos_embed excludes them): zero-pad
+            prefix_pos = np.concatenate(
+                [prefix_pos,
+                 np.zeros((1, P - n_prefix, pos.shape[-1]), np.float32)],
+                axis=1)
+        params["prefix_tokens"] = prefix_tokens
+        params["pos_embed"] = np.concatenate([prefix_pos, grid_pos], axis=1)
+    else:
+        params["pos_embed"] = grid_pos
 
     for i in range(depth):
         base = f"blocks.{i}"
@@ -214,28 +279,74 @@ def convert_resnet50(sd: Dict[str, np.ndarray],
     return params
 
 
+def _find_leaf(tree, key: str):
+    """First leaf whose dict key matches ``key`` (depth-first)."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            if str(k) == key and not isinstance(v, dict):
+                return v
+            found = _find_leaf(v, key)
+            if found is not None:
+                return found
+    return None
+
+
 def load_pretrained_encoder(encoder_name: str, checkpoint_path: str,
                             current_params: Dict) -> Dict:
-    """Convert a local checkpoint and merge into an initialized param tree.
+    """Convert a local checkpoint and merge into an initialized encoder tree.
 
-    Entries missing from the checkpoint keep their initialization; shapes
-    are validated against ``current_params``.
+    ``current_params`` is the model's encoder subtree; geometry adaptations
+    (Swin rel-pos-bias window, ViT pos-embed grid / prefix tokens) are
+    inferred from its shapes. Entries missing from the checkpoint keep
+    their initialization; shapes are validated against ``current_params``.
     """
     sd = load_torch_state_dict(checkpoint_path)
     if encoder_name.startswith("swin"):
-        depths = {"swin_t": (2, 2, 6, 2)}.get(encoder_name, (2, 2, 18, 2))
+        # infer per-stage depths from the checkpoint itself
+        depths = []
+        stage = 0
+        while any(k.startswith(f"layers.{stage}.blocks.") for k in sd):
+            depths.append(1 + max(
+                int(k.split(".")[3]) for k in sd
+                if k.startswith(f"layers.{stage}.blocks.")))
+            stage += 1
+        if not depths:
+            raise ValueError(
+                f"{checkpoint_path}: no 'layers.N.blocks.*' keys — not a "
+                "timm-format Swin state_dict")
         scan = any(str(k).endswith("_scan") for k in current_params)
-        converted = convert_swin(sd, depths, scan_blocks=scan)
-    elif encoder_name.startswith("vit") or "dinov" in encoder_name:
+        target_window = None
+        bias = _find_leaf(current_params, "rel_pos_bias")
+        if bias is not None:
+            side = int(np.sqrt(np.asarray(bias).shape[-2]))
+            target_window = (side + 1) // 2
+        converted = convert_swin(sd, depths, scan_blocks=scan,
+                                 target_window=target_window)
+        return merge_params(current_params, converted)
+
+    if encoder_name.startswith("vit") or "dino" in encoder_name or (
+            encoder_name.startswith("timm:")):
         depth = sum(1 for k in sd if k.endswith(".norm1.weight")
                     and k.startswith("blocks."))
-        converted = convert_vit(sd, depth=depth)
-    elif encoder_name.startswith("resnet"):
-        converted = convert_resnet50(sd)
-    else:
-        raise ValueError(f"No converter for encoder {encoder_name!r}")
+        target = current_params.get("backbone", current_params)
+        keep_prefix = "prefix_tokens" in target
+        pos = np.asarray(target["pos_embed"])
+        n_prefix = (np.asarray(target["prefix_tokens"]).shape[1]
+                    if keep_prefix else 0)
+        target_grid = int(np.sqrt(pos.shape[1] - n_prefix))
+        converted = convert_vit(sd, depth=depth,
+                                keep_prefix_tokens=keep_prefix,
+                                target_grid=target_grid)
+        if "backbone" in current_params:
+            return dict(current_params, backbone=merge_params(
+                current_params["backbone"], converted))
+        return merge_params(current_params, converted)
 
-    return merge_params(current_params, converted)
+    if encoder_name.startswith("resnet"):
+        converted = convert_resnet50(sd)
+        return merge_params(current_params, converted)
+
+    raise ValueError(f"No converter for encoder {encoder_name!r}")
 
 
 def merge_params(current: Dict, incoming: Dict, path: str = "") -> Dict:
