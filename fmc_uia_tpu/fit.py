@@ -117,6 +117,12 @@ def fit(config_path: Optional[str] = None, config=None,
         config = load_config(config_path)
     rng = set_seed(config.seed)
 
+    if mesh is None:
+        from fmc_uia_tpu.parallel import init_distributed, mesh_from_config
+
+        init_distributed(config)  # no-op single-process
+        mesh = mesh_from_config(config)  # None unless parallel.mesh is set
+
     logger = TrainingLogger(config.output_dir, config.exp_name)
 
     train_engine, val_engine, registry = build_data_engines(config)

@@ -10,6 +10,11 @@ from fmc_uia_tpu.parallel.sharding import (
     make_param_specs,
     tp_spec_for_path,
 )
+from fmc_uia_tpu.parallel.distributed import (
+    init_distributed,
+    make_hybrid_mesh,
+    mesh_from_config,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +25,7 @@ __all__ = [
     "apply_param_sharding",
     "make_param_specs",
     "tp_spec_for_path",
+    "init_distributed",
+    "make_hybrid_mesh",
+    "mesh_from_config",
 ]

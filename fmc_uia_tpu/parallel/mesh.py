@@ -35,7 +35,11 @@ def make_mesh(devices: Optional[Sequence] = None,
 
 
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim across the data axis."""
+    """Shard the leading (batch) dim across the data axis — and across the
+    ``dcn_data`` slice axis too on hybrid DCN x ICI meshes (the per-process
+    global batch splits over slices first, then chips)."""
+    if "dcn_data" in mesh.axis_names and data_axis in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn_data", data_axis)))
     return NamedSharding(mesh, P(data_axis))
 
 
