@@ -90,6 +90,10 @@ class DataEngine:
         self.prefetch_depth = max(0, int(prefetch_depth))
         self.drop_last = drop_last
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        # optional hook applied to each batch on the producer thread —
+        # fit() points this at Trainer.put_batch so the (async) host->device
+        # transfer overlaps the previous step's compute
+        self.put_fn = None
 
     def __len__(self) -> int:
         if self.sampler is not None:
@@ -136,9 +140,10 @@ class DataEngine:
     def __iter__(self) -> Iterator[Dict]:
         stream = (self._train_batches() if self.sampler is not None
                   else self._eval_batches())
+        put = self.put_fn or (lambda b: b)
         if self.prefetch_depth == 0:
             for rows in stream:
-                yield self._load_batch(rows)
+                yield put(self._load_batch(rows))
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
@@ -147,7 +152,7 @@ class DataEngine:
         def producer():
             try:
                 for rows in stream:
-                    q.put(self._load_batch(rows))
+                    q.put(put(self._load_batch(rows)))
             finally:
                 q.put(_SENTINEL)
 

@@ -160,6 +160,8 @@ def fit(config_path: Optional[str] = None, config=None,
 
     trainer = Trainer(config, model, registry, variables["params"], rng,
                       mesh=mesh)
+    # overlap H2D transfers with compute: device_put on the producer thread
+    train_engine.put_fn = trainer.put_batch
 
     mean = config.get("data.augmentation.normalize.mean")
     std = config.get("data.augmentation.normalize.std")

@@ -94,6 +94,40 @@ class TaskEmbeddingFiLM(nn.Module):
         return out
 
 
+class MultiFiLM(nn.Module):
+    """Per-stage FiLM over a multi-scale feature list — deep task
+    conditioning across encoder stages (reference film_layer.py:217-282
+    ``MultiFiLMLayer``; unused by the reference model but part of its
+    public surface).
+
+    One banked (or embedding-MLP) gamma/beta generator per stage; stages
+    may have different channel widths.
+    """
+
+    num_tasks: int
+    feature_channels: tuple  # per-stage channel widths, e.g. (96,192,384,768)
+    use_affine: bool = True
+    use_embedding: bool = False
+    embedding_dim: int = 64
+
+    @nn.compact
+    def __call__(self, features, task_index: jax.Array):
+        if len(features) != len(self.feature_channels):
+            raise ValueError(
+                f"MultiFiLM configured for {len(self.feature_channels)} "
+                f"stages, got {len(features)} features")
+        out = []
+        for i, (feat, ch) in enumerate(zip(features,
+                                           self.feature_channels)):
+            cls = TaskEmbeddingFiLM if self.use_embedding else TaskFiLM
+            kwargs = dict(num_tasks=self.num_tasks, num_features=ch,
+                          use_affine=self.use_affine)
+            if self.use_embedding:
+                kwargs["embedding_dim"] = self.embedding_dim
+            out.append(cls(name=f"stage{i}", **kwargs)(feat, task_index))
+        return out
+
+
 def build_film(config, num_tasks: int, num_features: int) -> Optional[nn.Module]:
     """FiLM factory (reference multitask_model.py:50-79)."""
     if not config.get("model.use_film", False):

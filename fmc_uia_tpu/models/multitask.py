@@ -77,6 +77,24 @@ class MultiTaskModel(nn.Module):
 
         self.film = build_film(cfg, len(self.registry), self.fpn_out_channels)
 
+        # deep multi-stage conditioning over encoder features
+        # (reference MultiFiLMLayer, film_layer.py:217-282; opt-in via
+        # model.film.multi_stage — the reference model never wires it)
+        film_cfg = cfg.get("model.film", {}) or {}
+        self.multi_film = None
+        if cfg.get("model.use_film", False) and film_cfg.get(
+                "multi_stage", False):
+            from fmc_uia_tpu.models.conditioning import MultiFiLM
+
+            self.multi_film = MultiFiLM(
+                num_tasks=len(self.registry),
+                feature_channels=tuple(self.encoder.out_channels),
+                use_affine=bool(film_cfg.get("use_affine", True)),
+                use_embedding=bool(film_cfg.get("use_task_embedding",
+                                                False)),
+                embedding_dim=int(film_cfg.get("embedding_dim", 64)),
+            )
+
         task_configs = self.registry.to_task_configs()
         prompt_cfg = cfg.get("model.task_prompt", {}) or {}
         self.task_prompt = build_task_prompt(cfg, task_configs)
@@ -182,6 +200,8 @@ class MultiTaskModel(nn.Module):
 
         features = self.encoder(x, train=train)
         features = self._apply_moe(features, task_index, train)
+        if self.multi_film is not None:
+            features = self.multi_film(features, task_index)
 
         head = self.head_banks[task_type]
 

@@ -151,6 +151,25 @@ def input_prep_fns(config, compute_dtype=jnp.float32):
     new_dataloader.py:45-66).
     """
     if config.get("data.use_adaptive_norm", False):
+        # normalize-conflict guard (reference new_dataloader.py:45-66):
+        # stacking dataset-stats normalization on per-image adaptive norm
+        # double-normalizes; warn unless the configured stats are identity
+        mean = config.get("data.augmentation.normalize.mean")
+        std = config.get("data.augmentation.normalize.std")
+        identity = (
+            (mean is None or list(mean) == [0, 0, 0])
+            and (std is None or list(std) == [1, 1, 1]))
+        if not identity:
+            import warnings
+
+            warnings.warn(
+                "CONFLICT: data.use_adaptive_norm is on but "
+                f"data.augmentation.normalize has non-identity stats "
+                f"(mean={mean}, std={std}). Adaptive norm already "
+                "standardizes each image; the stats are IGNORED here — "
+                "set mean=[0,0,0], std=[1,1,1] to silence this warning.",
+                stacklevel=2)
+
         def train_prep(key, images):
             del key
             return images.astype(compute_dtype)

@@ -317,10 +317,9 @@ def make_train_step(
         return loss_fn_for_type(outputs.astype(jnp.float32), labels,
                                 num_valid_cols=2 * ncls)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, images, labels, task_index,
-                   lr: jax.Array, adaptive_enable: jax.Array,
-                   rng: jax.Array):
+    def step_core(state: TrainState, images, labels, task_index,
+                  lr: jax.Array, adaptive_enable: jax.Array,
+                  rng: jax.Array):
         k_aug, k_flip, k_drop = jax.random.split(
             jax.random.fold_in(rng, state.step), 3)
         if flip_h_p > 0 or flip_v_p > 0:
@@ -386,7 +385,9 @@ def make_train_step(
         return new_state, logs
 
     if accum_steps <= 1:
-        return train_step
+        # (jitted step, unjitted core) — the core feeds the lax.scan burst
+        # driver (Trainer.train_burst)
+        return jax.jit(step_core, donate_argnums=(0,)), step_core
 
     # ----- gradient accumulation variant (training.accumulation_steps,
     # a reference config stub that never worked, config.yaml:211) -----
@@ -455,7 +456,7 @@ def make_train_step(
                                opt_state=opt_state, grad_accum=acc)
         return new_state, logs
 
-    return accum_train_step
+    return accum_train_step, None  # burst mode unsupported with accum
 
 
 # --------------------------------------------------------------------------
@@ -552,35 +553,74 @@ class Trainer:
                 self.state = replicate(self.state, self.mesh)
         self.scheduler = LRScheduler(config)
 
-        self.steps = {
-            t: make_train_step(model, self.tx, config, registry, t,
-                               loss_fns, loss_weights)
-            for t in registry.present_types()
-        }
+        self.steps = {}
+        self._step_cores = {}
+        for t in registry.present_types():
+            step, core = make_train_step(model, self.tx, config, registry,
+                                         t, loss_fns, loss_weights)
+            self.steps[t] = step
+            self._step_cores[t] = core
+        # host-side caches: device scalars are tiny but each jnp.asarray is
+        # a host->device transfer on the dispatch path (a tunnel round-trip
+        # under axon); values change at epoch granularity, so cache by value
+        self._scalar_cache: Dict = {}
+        self._burst_cache: Dict = {}
 
-    def train_batch(self, batch: Dict, epoch: int) -> Dict[str, float]:
-        task_type = batch["task_type"]
-        adaptive_enable = jnp.asarray(
+    def _dev_scalar(self, key: str, value, dtype) -> jax.Array:
+        ent = self._scalar_cache.get(key)
+        if ent is None or ent[0] != value:
+            ent = (value, jnp.asarray(value, dtype))
+            self._scalar_cache[key] = ent
+        return ent[1]
+
+    def put_batch(self, batch: Dict) -> Dict:
+        """Start the async host->device transfer of a batch's arrays.
+
+        Call from the data-engine producer thread to overlap H2D with the
+        previous step's compute (train_batch passes jax.Arrays through
+        untouched)."""
+        out = dict(batch)
+        if self.mesh is not None:
+            from fmc_uia_tpu.parallel import batch_sharding
+
+            bs = batch_sharding(self.mesh)
+            out["image"] = jax.device_put(
+                np.asarray(batch["image"]), bs)
+            out["label"] = jax.device_put(
+                np.asarray(batch["label"]), bs)
+        else:
+            out["image"] = jax.device_put(np.asarray(batch["image"]))
+            out["label"] = jax.device_put(np.asarray(batch["label"]))
+        return out
+
+    def _step_args(self, batch: Dict, epoch: int):
+        adaptive_enable = self._dev_scalar(
+            "adaptive_enable",
             0.0 if (self.use_adaptive and epoch < self.adaptive_warmup)
             else 1.0, jnp.float32)
-        lr = jnp.asarray(self.scheduler.current_lr(), jnp.float32)
-        images = jnp.asarray(batch["image"])
-        labels = jnp.asarray(batch["label"])
-        if self.mesh is not None:
+        lr = self._dev_scalar("lr", self.scheduler.current_lr(),
+                              jnp.float32)
+        images, labels = batch["image"], batch["label"]
+        if not isinstance(images, jax.Array):
+            put = self.put_batch(batch)
+            images, labels = put["image"], put["label"]
+        elif self.mesh is not None:
             from fmc_uia_tpu.parallel import batch_sharding
 
             bs = batch_sharding(self.mesh)
             images = jax.device_put(images, bs)
             labels = jax.device_put(labels, bs)
-        args = [
-            self.state,
-            images,
-            labels,
-            jnp.asarray(batch["task_index"], jnp.int32),
-            lr,
-            adaptive_enable,
-            self.rng,
-        ]
+        task_index = self._dev_scalar(
+            f"task_index:{batch['task_id']}", int(batch["task_index"]),
+            jnp.int32)
+        return images, labels, task_index, lr, adaptive_enable
+
+    def train_batch(self, batch: Dict, epoch: int) -> Dict[str, float]:
+        task_type = batch["task_type"]
+        images, labels, task_index, lr, adaptive_enable = self._step_args(
+            batch, epoch)
+        args = [self.state, images, labels, task_index, lr,
+                adaptive_enable, self.rng]
         if self.accum_steps > 1:
             self._micro_step += 1
             apply_flag = jnp.asarray(
@@ -588,6 +628,43 @@ class Trainer:
             args.append(apply_flag)
         self.state, logs = self.steps[task_type](*args)
         return logs
+
+    def train_burst(self, batch: Dict, n_steps: int,
+                    epoch: int = 0) -> Dict[str, jax.Array]:
+        """Device-resident multi-step driver: ONE program runs ``n_steps``
+        train steps via lax.scan (augmentation RNG folds the step counter,
+        so each scan iteration sees fresh noise/flips). Removes all per-step
+        host dispatch — the burst-mode answer to the host-sensitive
+        throughput of the per-step path (PERF.md rows 6-7).
+
+        Semantics: n consecutive optimizer steps on the SAME batch of one
+        task type (fixed-task fine-tuning / benchmark mode).
+        """
+        if self.accum_steps > 1:
+            raise NotImplementedError(
+                "burst mode with accumulation_steps > 1")
+        task_type = batch["task_type"]
+        core = self._step_cores[task_type]
+        key = (task_type, int(n_steps))
+        if key not in self._burst_cache:
+
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               static_argnums=(7,))
+            def burst(state, images, labels, task_index, lr,
+                      adaptive_enable, rng, n):
+                def body(s, _):
+                    s, logs = core(s, images, labels, task_index, lr,
+                                   adaptive_enable, rng)
+                    return s, logs["total_loss"]
+                return jax.lax.scan(body, state, None, length=n)
+
+            self._burst_cache[key] = burst
+        images, labels, task_index, lr, adaptive_enable = self._step_args(
+            batch, epoch)
+        self.state, losses = self._burst_cache[key](
+            self.state, images, labels, task_index, lr, adaptive_enable,
+            self.rng, int(n_steps))
+        return {"total_loss": losses[-1], "losses": losses}
 
     @property
     def model_params(self):

@@ -152,21 +152,97 @@ class TrainingLogger:
                 f.write(f"{k}: {v}\n")
 
     def save_best_model_summary(self, eval_on_train: Optional[Dict]) -> None:
-        path = self.experiment_dir / "best_model_summary.txt"
-        with open(path, "w") as f:
-            f.write("Best model evaluation on training set\n")
-            f.write("=" * 50 + "\n")
-            if not eval_on_train:
-                f.write("(no evaluation available)\n")
-                return
+        """best_model_summary.txt: latest-epoch per-task metrics, group
+        mean primary metrics, and the best-model train-set evaluation
+        (reference logger.py:297-425 layout)."""
+        lines: List[str] = []
+        last = self.history[-1] if self.history else None
+        if last is not None:
+            lines.append(f"Validation Summary - Best Epoch {last['epoch']}")
+            lines.append(
+                f"Timestamp: {time.strftime('%Y-%m-%d %H:%M:%S')}")
+            lines.append("")
+            lines.append("Per-task validation metrics of Best Epoch:")
+            lines.append("")
+            group_vals: Dict[str, List[float]] = {
+                "segmentation": [], "detection": [], "regression": []}
+            cls_vals: Dict[str, List[float]] = {"Accuracy": [],
+                                                "F1-Score": []}
+            for rec in sorted(last.get("val_metrics", []),
+                              key=lambda r: str(r.get("Task ID", ""))):
+                tid = rec.get("Task ID", "")
+                tname = str(rec.get("Task Name", ""))
+                parts = []
+                metrics = {k: v for k, v in rec.items()
+                           if k not in ("Task ID", "Task Name")}
+                for k, v in metrics.items():
+                    if v is None or (isinstance(v, float) and np.isnan(v)):
+                        continue
+                    parts.append(f"{k}: {float(v):.4f}")
+                lines.append(f"  - Task {tid} | {tname} -> "
+                             + ", ".join(parts))
+                tn = tname.lower()
+                if "classification" in tn:
+                    for m in ("Accuracy", "F1-Score"):
+                        v = metrics.get(m)
+                        if v is not None and not (isinstance(v, float)
+                                                  and np.isnan(v)):
+                            cls_vals[m].append(float(v))
+                else:
+                    primary = None
+                    if "segmentation" in tn:
+                        primary = metrics.get("Dice", metrics.get("IoU"))
+                        g = "segmentation"
+                    elif "detection" in tn:
+                        primary = metrics.get("IoU")
+                        g = "detection"
+                    elif "regression" in tn:
+                        primary = metrics.get(
+                            "MAE", metrics.get("MAE (pixels)"))
+                        g = "regression"
+                    else:
+                        g = None
+                    if g and primary is not None and not (
+                            isinstance(primary, float)
+                            and np.isnan(primary)):
+                        group_vals[g].append(float(primary))
+            lines.append("")
+            lines.append("Group mean primary metrics:")
+            for m in ("Accuracy", "F1-Score"):
+                vals = cls_vals[m]
+                lines.append(
+                    f"  - Classification {m}: "
+                    + (f"{float(np.mean(vals)):.4f} (mean over "
+                       f"{len(vals)} task(s))" if vals
+                       else "N/A (no tasks found)"))
+            for g in ("segmentation", "detection", "regression"):
+                vals = group_vals[g]
+                lines.append(
+                    f"  - {g.title()}: "
+                    + (f"{float(np.mean(vals)):.4f} (mean over "
+                       f"{len(vals)} task(s))" if vals
+                       else "N/A (no tasks found)"))
+
+        if eval_on_train:
+            lines.append("")
+            lines.append("Best Model Evaluation on Training Set:")
             for group, value in eval_on_train.items():
                 if isinstance(value, dict):
-                    for metric, v in value.items():
-                        f.write(f"{group}/{metric}: "
-                                f"{'n/a' if v is None else f'{v:.4f}'}\n")
+                    acc = value.get("Accuracy")
+                    f1 = value.get("F1-Score")
+                    acc_s = f"{acc:.4f}" if acc is not None else "N/A"
+                    f1_s = f"{f1:.4f}" if f1 is not None else "N/A"
+                    lines.append(f"  - {group.title()}: Accuracy={acc_s}, "
+                                 f"F1-Score={f1_s}")
+                elif value is not None:
+                    lines.append(f"  - {group.title()}: {value:.4f}")
                 else:
-                    f.write(f"{group}: "
-                            f"{'n/a' if value is None else f'{value:.4f}'}\n")
+                    lines.append(f"  - {group.title()}: N/A")
+        if not lines:
+            lines = ["(no evaluation available)"]
+        with open(self.experiment_dir / "best_model_summary.txt", "w",
+                  encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
 
     # reference-compat alias (train.py:772 calls the underscored name)
     _save_best_model_summary_txt = save_best_model_summary
@@ -207,45 +283,198 @@ def plot_training_curves(experiment_dir) -> None:
     plt.close(fig)
 
 
+_GROUPS = ("classification", "segmentation", "detection", "regression")
+_GROUP_COLORS = {"classification": "#1f77b4", "segmentation": "#ff7f0e",
+                 "detection": "#2ca02c", "regression": "#d62728"}
+_AVG_COLOR = "#9467bd"
+_PRIMARY_METRICS = {  # per-group primary validation metric
+    "classification": ("Accuracy", "F1-Score"),
+    "segmentation": ("Dice", "IoU"),
+    "detection": ("IoU",),
+    "regression": ("MAE (pixels)", "MAE"),
+}
+
+
+def _group_of(task_name: str) -> Optional[str]:
+    tn = str(task_name).lower()
+    for g in _GROUPS:
+        if g in tn:
+            return g
+    return None
+
+
 def plot_comprehensive_training_curves(experiment_dir) -> None:
-    """Per-task-group curves (reference logger.py:579-928)."""
+    """Three per-group figures (reference logger.py:579-928 artifact set):
+
+      training_loss_per_task.png        2x3: loss per group + average
+      validation_metrics_per_task.png   2x3: primary metric per group + avg
+      training_summary_comprehensive.png 2x2: combined train/val/lr/time
+    """
     experiment_dir = Path(experiment_dir)
     val_path = experiment_dir / "val_metrics.csv"
     loss_path = experiment_dir / "train_losses.csv"
-    if not val_path.exists() and not loss_path.exists():
+    summary_path = experiment_dir / "training_summary.csv"
+    if not loss_path.exists():
         return
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    if loss_path.exists():
-        losses = pd.read_csv(loss_path)
-        fig, ax = plt.subplots(figsize=(12, 6))
-        for tid, group in losses.groupby("task_id"):
-            ax.plot(group["epoch"], group["mean"], label=tid, alpha=0.7)
+    losses = pd.read_csv(loss_path)
+    val = pd.read_csv(val_path) if val_path.exists() else pd.DataFrame()
+    summary = (pd.read_csv(summary_path) if summary_path.exists()
+               else pd.DataFrame())
+
+    # task_id -> group via the val table's task_name column
+    tid_group = {}
+    if not val.empty:
+        for _, row in val[["task_id", "task_name"]].drop_duplicates(
+                ).iterrows():
+            tid_group[row["task_id"]] = _group_of(row["task_name"])
+
+    # per-group mean train loss by epoch
+    losses = losses.assign(group=losses["task_id"].map(tid_group))
+    group_loss = {
+        g: losses[losses["group"] == g].groupby("epoch")["mean"].mean()
+        for g in _GROUPS
+    }
+    avg_loss = losses.groupby("epoch")["mean"].mean()
+
+    # ---- figure 1: training loss per group + average -------------------
+    fig, axes = plt.subplots(2, 3, figsize=(18, 10))
+    fig.suptitle("Training Loss - Per Group & Average", fontsize=16,
+                 fontweight="bold")
+    panels = list(_GROUPS) + ["average", "all"]
+    for ax, panel in zip(axes.flat, panels):
+        if panel == "average":
+            ax.plot(avg_loss.index, avg_loss.values, color=_AVG_COLOR,
+                    marker="s", markersize=3)
+            ax.set_title("Average (all tasks)")
+        elif panel == "all":
+            for g in _GROUPS:
+                s = group_loss[g]
+                if len(s):
+                    ax.plot(s.index, s.values, color=_GROUP_COLORS[g],
+                            label=g.title(), alpha=0.8)
+            ax.plot(avg_loss.index, avg_loss.values, color=_AVG_COLOR,
+                    linestyle="--", label="Average")
+            ax.legend(fontsize=8)
+            ax.set_title("All groups")
+        else:
+            s = group_loss[panel]
+            if len(s):
+                ax.plot(s.index, s.values, color=_GROUP_COLORS[panel],
+                        marker="o", markersize=3)
+            ax.set_title(panel.title())
         ax.set_xlabel("epoch")
         ax.set_ylabel("train loss")
-        ax.legend(fontsize=6, ncol=3)
         ax.grid(alpha=0.3)
-        fig.tight_layout()
-        fig.savefig(experiment_dir / "comprehensive_curves_loss.png", dpi=120)
-        plt.close(fig)
+    fig.tight_layout()
+    fig.savefig(experiment_dir / "training_loss_per_task.png", dpi=150,
+                bbox_inches="tight")
+    plt.close(fig)
 
-    if val_path.exists():
-        val = pd.read_csv(val_path)
-        metrics = sorted(val["metric"].unique())
-        fig, axes = plt.subplots(1, max(1, len(metrics)),
-                                 figsize=(5 * max(1, len(metrics)), 4),
-                                 squeeze=False)
-        for ax, metric in zip(axes[0], metrics):
-            sub = val[val["metric"] == metric]
-            for tid, group in sub.groupby("task_id"):
-                ax.plot(group["epoch"], group["value"], label=tid, alpha=0.7)
-            ax.set_title(metric)
+    # ---- figure 2: validation primary metric per group + average -------
+    if not val.empty:
+        val = val.assign(group=val["task_name"].map(_group_of))
+
+    def primary_series(g):
+        if val.empty:
+            return pd.Series(dtype=float)
+        keys = _PRIMARY_METRICS[g]
+        sub = val[(val["group"] == g) & (val["metric"].isin(keys))]
+        return sub.groupby("epoch")["value"].mean()
+
+    if not val.empty:
+        fig, axes = plt.subplots(2, 3, figsize=(18, 10))
+        fig.suptitle("Validation Metrics - Per Group & Average",
+                     fontsize=16, fontweight="bold")
+        series = {g: primary_series(g) for g in _GROUPS}
+        # overall average excludes regression MAE (different scale)
+        score_like = val[val["metric"] != "MAE (pixels)"]
+        avg_val = score_like.groupby("epoch")["value"].mean()
+        for ax, panel in zip(axes.flat, panels):
+            if panel == "average":
+                ax.plot(avg_val.index, avg_val.values, color=_AVG_COLOR,
+                        marker="s", markersize=3)
+                ax.set_title("Average (score metrics)")
+            elif panel == "all":
+                for g in _GROUPS:
+                    s = series[g]
+                    if len(s):
+                        ax.plot(s.index, s.values,
+                                color=_GROUP_COLORS[g], label=g.title(),
+                                alpha=0.8)
+                ax.legend(fontsize=8)
+                ax.set_title("All groups (primary metric)")
+            else:
+                s = series[panel]
+                if len(s):
+                    ax.plot(s.index, s.values,
+                            color=_GROUP_COLORS[panel], marker="o",
+                            markersize=3)
+                ax.set_title(f"{panel.title()} "
+                             f"({_PRIMARY_METRICS[panel][0]})")
             ax.set_xlabel("epoch")
             ax.grid(alpha=0.3)
-            ax.legend(fontsize=6)
         fig.tight_layout()
-        fig.savefig(experiment_dir / "comprehensive_curves_val.png", dpi=120)
+        fig.savefig(experiment_dir / "validation_metrics_per_task.png",
+                    dpi=150, bbox_inches="tight")
         plt.close(fig)
+
+    # ---- figure 3: combined summary ------------------------------------
+    fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+    fig.suptitle("Training & Validation Summary - All Tasks", fontsize=16,
+                 fontweight="bold")
+    ax = axes[0, 0]
+    for g in _GROUPS:
+        s = group_loss[g]
+        if len(s):
+            ax.plot(s.index, s.values, color=_GROUP_COLORS[g],
+                    label=g.title(), marker="o", markersize=3, alpha=0.7)
+    ax.plot(avg_loss.index, avg_loss.values, color=_AVG_COLOR,
+            linestyle="--", linewidth=2.5, label="Average")
+    ax.set_title("Training loss by group")
+    ax.legend(fontsize=8)
+
+    ax = axes[0, 1]
+    if not val.empty:
+        for g in _GROUPS:
+            s = primary_series(g)
+            if len(s):
+                ax.plot(s.index, s.values, color=_GROUP_COLORS[g],
+                        label=g.title(), marker="o", markersize=3,
+                        alpha=0.7)
+        ax.legend(fontsize=8)
+    ax.set_title("Validation primary metric by group")
+
+    ax = axes[1, 0]
+    for tid, grp in losses.groupby("task_id"):
+        ax.plot(grp["epoch"], grp["mean"], alpha=0.6, linewidth=1,
+                label=tid)
+    ax.legend(fontsize=5, ncol=3)
+    ax.set_title("Training loss per task")
+
+    ax = axes[1, 1]
+    if not summary.empty:
+        line1 = ax.plot(summary["epoch"], summary["learning_rate"],
+                        color="#17becf", marker="o", markersize=3,
+                        label="Learning Rate")
+        ax.set_yscale("log")
+        ax.set_ylabel("Learning rate", color="#17becf")
+        ax2 = ax.twinx()
+        line2 = ax2.plot(summary["epoch"], summary["epoch_time"],
+                         color="#bcbd22", marker="^", markersize=3,
+                         label="Epoch Time")
+        ax2.set_ylabel("Epoch time (s)", color="#bcbd22")
+        lines = line1 + line2
+        ax.legend(lines, [ln.get_label() for ln in lines], fontsize=8)
+    ax.set_title("Learning Rate & Training Time")
+    for ax in axes.flat:
+        ax.set_xlabel("epoch")
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(experiment_dir / "training_summary_comprehensive.png",
+                dpi=150, bbox_inches="tight")
+    plt.close(fig)

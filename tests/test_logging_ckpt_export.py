@@ -73,8 +73,15 @@ def test_logger_files(tmp_path):
     plot_training_curves(d)
     plot_comprehensive_training_curves(d)
     assert (d / "training_curves.png").exists()
-    assert (d / "comprehensive_curves_loss.png").exists()
-    assert (d / "comprehensive_curves_val.png").exists()
+    # reference artifact set (reference logger.py:579-928)
+    assert (d / "training_loss_per_task.png").exists()
+    assert (d / "validation_metrics_per_task.png").exists()
+    assert (d / "training_summary_comprehensive.png").exists()
+    # best-model summary carries the reference's section layout
+    txt = (d / "best_model_summary.txt").read_text()
+    assert "Per-task validation metrics of Best Epoch" in txt
+    assert "Group mean primary metrics:" in txt
+    assert "Best Model Evaluation on Training Set:" in txt
 
 
 @pytest.fixture(scope="module")
