@@ -97,7 +97,13 @@ def build_bench(encoder: str, image_size: int, batch: int):
         == "1")
     cfg.config["model"]["encoder"]["remat_policy"] = os.environ.get(
         "BENCH_REMAT_POLICY", "full")
+    stages_env = os.environ.get("BENCH_REMAT_STAGES")
+    if stages_env:
+        cfg.config["model"]["encoder"]["remat_stages"] = [
+            int(s) for s in stages_env.split(",")]
     # window 8: tile-aligned, pad-free windows (see swin.py build_swin)
+    cfg.config["model"]["encoder"]["softmax_bf16"] = (
+        os.environ.get("BENCH_SOFTMAX_BF16", "1") == "1")
     cfg.config["model"]["encoder"]["window_size"] = int(
         os.environ.get("BENCH_WINDOW", "8"))
     cfg._set_attributes()

@@ -91,16 +91,23 @@ def window_unpartition(windows: jax.Array, ws: int, hp: int, wp: int
 class WindowAttention(nn.Module):
     """Multi-head self-attention inside ws x ws windows with relative bias.
 
-    On TPU with tile-friendly window sizes (N % 8 == 0) the fused Pallas
-    kernel (ops/window_attention.py) computes scores+softmax+weighted-sum in
-    VMEM; otherwise the batched-einsum XLA path runs.
+    Runs as batched XLA einsums. A fused Pallas score/softmax kernel was
+    built and measured in rounds 1-2 and RETIRED: XLA's batched attention
+    matmuls were already faster at every group size tried (best fused
+    8.75 ms vs 6.67 ms XLA at stage-0 scale; full history in PERF.md
+    'Fused Pallas window attention'). The module-level cost is dominated by
+    qkv/proj projections and window-layout data movement, which a score
+    kernel cannot recover.
     """
 
     dim: int
     num_heads: int
     window_size: int
-    fused: bool = False  # measured net-negative in r1 (see PERF.md); the
-    # kernel is correct and kept for round-2 bwd-kernel work
+    # keep the materialized score/softmax tensors in bf16 (accumulation
+    # inside the MXU stays f32). Halves the largest HBM tensors in the
+    # step (f32[B*nW, H, N, N]); max-subtracted softmax over N=49..64
+    # window keys is well-conditioned in bf16. Off by default.
+    softmax_bf16: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,24 +130,6 @@ class WindowAttention(nn.Module):
         bias = jnp.take(bias_table, rel_idx, axis=0)
         bias = bias.reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
 
-        use_fused = (self.fused and N % 8 == 0
-                     and jax.default_backend() == "tpu")
-        if use_fused:
-            from fmc_uia_tpu.ops.window_attention import (
-                fused_window_attention,
-                pick_group_size,
-            )
-
-            if attn_mask is not None:
-                nW = attn_mask.shape[0]
-                G = pick_group_size(Bn, nW, N, dh)
-                addmask = bias[:, None] + attn_mask[None]  # [H, nW, N, N]
-            else:
-                G = pick_group_size(Bn, Bn, N, dh)
-                addmask = jnp.broadcast_to(bias[:, None], (H, G, N, N))
-            out = fused_window_attention(qkv, addmask, H, G)
-            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
-
         # XLA path: split along the feature axis and reshape head-last — no
         # transposed 5D copy (a [Bn,N,3,H,dh] transpose materializes with
         # ~2.6x tile padding on TPU).
@@ -149,14 +138,17 @@ class WindowAttention(nn.Module):
         v = qkv[..., 2 * C :].reshape(Bn, N, H, dh)
 
         scale = dh ** -0.5
+        score_dtype = (jnp.bfloat16 if (self.softmax_bf16
+                                        and self.dtype == jnp.bfloat16)
+                       else jnp.float32)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn + bias[None]
+                          preferred_element_type=score_dtype)
+        attn = attn + bias[None].astype(score_dtype)
 
         if attn_mask is not None:
             nW = attn_mask.shape[0]
             attn = attn.reshape(Bn // nW, nW, H, N, N)
-            attn = attn + attn_mask[None, :, None, :, :]
+            attn = attn + attn_mask[None, :, None, :, :].astype(score_dtype)
             attn = attn.reshape(Bn, H, N, N)
 
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
@@ -196,7 +188,7 @@ class SwinBlock(nn.Module):
     shift: int  # 0 or window_size // 2
     mlp_ratio: float = 4.0
     drop_path: float = 0.0  # used when no call-arg rate is given
-    fused_attention: bool = False
+    softmax_bf16: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -245,7 +237,7 @@ class SwinBlock(nn.Module):
         windows = window_partition(y, ws)
         windows = WindowAttention(
             dim=C, num_heads=self.num_heads, window_size=ws,
-            fused=self.fused_attention,
+            softmax_bf16=self.softmax_bf16,
             dtype=self.dtype, name="attn")(windows, attn_mask)
         y = window_unpartition(windows, ws, hp, wp)
 
@@ -279,7 +271,7 @@ class SwinBlockPair(nn.Module):
     num_heads: int
     window_size: int
     mlp_ratio: float = 4.0
-    fused_attention: bool = False
+    softmax_bf16: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -288,13 +280,13 @@ class SwinBlockPair(nn.Module):
         x = SwinBlock(dim=self.dim, num_heads=self.num_heads,
                       window_size=self.window_size, shift=0,
                       mlp_ratio=self.mlp_ratio,
-                      fused_attention=self.fused_attention, dtype=self.dtype,
+                      softmax_bf16=self.softmax_bf16, dtype=self.dtype,
                       name="block0")(x, train, rates[0])
         x = SwinBlock(dim=self.dim, num_heads=self.num_heads,
                       window_size=self.window_size,
                       shift=self.window_size // 2,
                       mlp_ratio=self.mlp_ratio,
-                      fused_attention=self.fused_attention, dtype=self.dtype,
+                      softmax_bf16=self.softmax_bf16, dtype=self.dtype,
                       name="block1")(x, train, rates[1])
         return x, None
 
@@ -329,8 +321,14 @@ class SwinEncoder(nn.Module):
     patch_size: int = 4
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     remat_policy: str = "full"  # 'full' | 'dots' (save matmul outputs)
+    # which stages to remat (None = all). Early stages carry the large
+    # (128^2-grid) activations — remat there buys the memory; stage 2 has
+    # 18 of the 24 blocks but tiny 32^2-grid activations, so rematting it
+    # is nearly all recompute cost and no memory win. (0, 1) is the sweet
+    # spot at 512^2.
+    remat_stages: Optional[Sequence[int]] = None
     scan_blocks: bool = True  # nn.scan over block pairs (compile-time)
-    fused_attention: bool = False  # Pallas kernel (off: see PERF.md)
+    softmax_bf16: bool = False  # bf16 scores/softmax (see WindowAttention)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -349,19 +347,24 @@ class SwinEncoder(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)
         block_id = 0
 
-        block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
-                     if self.remat else SwinBlock)
-        pair_cls = SwinBlockPair
-        if self.remat:
-            policy = None
-            if self.remat_policy == "dots":
-                # keep matmul outputs, recompute elementwise/norm only
-                policy = jax.checkpoint_policies.checkpoint_dots
-            # prevent_cse=False: required for efficient remat inside scan
-            pair_cls = nn.remat(SwinBlockPair, static_argnums=(3,),
-                                prevent_cse=False, policy=policy)
+        policy = None
+        if self.remat_policy == "dots":
+            # keep matmul outputs, recompute elementwise/norm only
+            policy = jax.checkpoint_policies.checkpoint_dots
+        remat_block_cls = nn.remat(SwinBlock, static_argnums=(2,))
+        # prevent_cse=False: required for efficient remat inside scan
+        remat_pair_cls = nn.remat(SwinBlockPair, static_argnums=(3,),
+                                  prevent_cse=False, policy=policy)
+
+        def stage_classes(stage):
+            on = self.remat and (self.remat_stages is None
+                                 or stage in tuple(self.remat_stages))
+            return ((remat_block_cls, remat_pair_cls) if on
+                    else (SwinBlock, SwinBlockPair))
+
         features = []
         for stage, depth in enumerate(self.depths):
+            block_cls, pair_cls = stage_classes(stage)
             if stage > 0:
                 x = PatchMerging(dtype=self.dtype,
                                  name=f"merge{stage}")(x)
@@ -383,7 +386,7 @@ class SwinEncoder(nn.Module):
                     num_heads=self.num_heads[stage],
                     window_size=self.window_size,
                     mlp_ratio=self.mlp_ratio,
-                    fused_attention=self.fused_attention,
+                    softmax_bf16=self.softmax_bf16,
                     dtype=self.dtype,
                     name=f"stage{stage}_scan",
                 )(x, rates, train)
@@ -397,7 +400,7 @@ class SwinEncoder(nn.Module):
                         shift=0 if b % 2 == 0 else self.window_size // 2,
                         mlp_ratio=self.mlp_ratio,
                         drop_path=float(dpr[block_id]),
-                        fused_attention=self.fused_attention,
+                        softmax_bf16=self.softmax_bf16,
                         dtype=self.dtype,
                         name=f"stage{stage}_block{b}",
                     )(x, train)  # positional: remat static_argnums=(2,)
@@ -439,11 +442,14 @@ def build_swin(name: str, config=None, dtype=jnp.float32) -> SwinEncoder:
         # interpolates rel-pos bias tables between window sizes.
         window = int(config.get("model.encoder.window_size", 7))
     remat_policy = "full"
-    fused_attention = True
+    remat_stages = None
+    softmax_bf16 = False
     if config is not None:
         remat_policy = str(config.get("model.encoder.remat_policy", "full"))
-        fused_attention = bool(
-            config.get("model.encoder.fused_attention", False))
+        rs = config.get("model.encoder.remat_stages")
+        remat_stages = tuple(int(s) for s in rs) if rs is not None else None
+        softmax_bf16 = bool(config.get("model.encoder.softmax_bf16", False))
     return SwinEncoder(dtype=dtype, drop_path_rate=drop_path, remat=remat,
                        remat_policy=remat_policy, window_size=window,
-                       fused_attention=fused_attention, **kwargs)
+                       remat_stages=remat_stages, softmax_bf16=softmax_bf16,
+                       **kwargs)

@@ -185,7 +185,20 @@ def input_prep_fns(config, compute_dtype=jnp.float32):
     bc_p = float(aug.get("random_brightness_contrast", 0.2))
     noise_p = float(aug.get("gauss_noise", 0.1))
 
+    # fused Pallas photometric chain (ops/preprocess_pallas.py): one VMEM
+    # pass + hardware PRNG instead of several jnp passes + threefry.
+    # Same distribution, different RNG stream. TPU only.
+    use_fused = bool(config.get("data.fused_preprocess", False))
+
     def train_prep(key, images):
+        if use_fused and jax.default_backend() == "tpu":
+            from fmc_uia_tpu.ops.preprocess_pallas import (
+                fused_augment_normalize,
+            )
+
+            return fused_augment_normalize(
+                key, images, mean, std, brightness_contrast_p=bc_p,
+                gauss_noise_p=noise_p, dtype=compute_dtype)
         return augment_and_normalize(
             key, images, mean, std, brightness_contrast_p=bc_p,
             gauss_noise_p=noise_p, train=True, dtype=compute_dtype)

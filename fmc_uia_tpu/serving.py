@@ -1,0 +1,145 @@
+"""Streaming inference service: per-task micro-batching over the 4 jitted
+predict programs.
+
+The reference has no serving layer at all (SURVEY.md §1 — inference is
+implied by evaluate()); this is the production-serving half of the
+challenge output contract. Design:
+
+  * requests enter per-task queues; a single dispatcher thread drains them
+    into fixed-size micro-batches (padding the tail), so the TPU always
+    sees the same shapes — zero recompiles at serve time.
+  * one device program per task TYPE (shared with export.Predictor);
+    batching amortizes the per-dispatch host/tunnel latency that dominates
+    batch-1 p50 (PERF.md round 1: ~1.5 ms dispatch vs ~30 ms compute at
+    512^2).
+  * `max_delay_ms` bounds added latency: a partial batch is flushed when
+    the oldest request exceeds the deadline.
+
+Usage:
+    svc = StreamingPredictor(model, params, registry, mean, std,
+                             image_size, max_batch=16)
+    fut = svc.submit(image_u8_hwc, "T2A_fetal_abdomen")
+    mask = fut.result()          # decoded per-task-type output
+    svc.close()
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, Optional
+
+import numpy as np
+
+from fmc_uia_tpu.export import Predictor
+from fmc_uia_tpu.tasks import TaskRegistry
+
+
+class StreamingPredictor:
+    """Thread-safe micro-batching wrapper around the jitted predict fns."""
+
+    def __init__(self, model, params, registry: TaskRegistry, mean, std,
+                 image_size: int, max_batch: int = 16,
+                 max_delay_ms: float = 5.0):
+        self.predictor = Predictor(model, params, registry, mean, std,
+                                   image_size)
+        self.registry = registry
+        self.image_size = int(image_size)
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self._queues: Dict[str, "queue.Queue"] = {
+            tid: queue.Queue() for tid in registry.task_ids}
+        self._wake = threading.Event()
+        self._closed = False
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    # -- client API ----------------------------------------------------------
+    def submit(self, image_u8: np.ndarray, task_id: str) -> Future:
+        """image_u8: [S, S, 3] uint8, already resized to image_size."""
+        if self._closed:
+            raise RuntimeError("StreamingPredictor is closed")
+        if task_id not in self._queues:
+            raise KeyError(f"Unknown task_id {task_id!r}; have "
+                           f"{sorted(self._queues)}")
+        image_u8 = np.asarray(image_u8, np.uint8)
+        want = (self.image_size, self.image_size, 3)
+        if image_u8.shape != want:
+            raise ValueError(
+                f"image shape {image_u8.shape} != {want}; resize on the "
+                "client (or use export.export_predictions for file inputs)")
+        fut: Future = Future()
+        self._queues[task_id].put((image_u8, fut, time.monotonic()))
+        self._wake.set()
+        return fut
+
+    def close(self) -> None:
+        self._closed = True
+        self._wake.set()
+        self._thread.join(timeout=10)
+
+    # -- dispatcher ----------------------------------------------------------
+    def _ready_task(self) -> Optional[str]:
+        """Pick the queue to serve: full batch first, else expired oldest."""
+        now = time.monotonic()
+        best, best_age = None, -1.0
+        for tid, q in self._queues.items():
+            n = q.qsize()
+            if n >= self.max_batch:
+                return tid
+            if n > 0:
+                try:
+                    age = now - q.queue[0][2]
+                except IndexError:
+                    continue
+                if age > best_age:
+                    best, best_age = tid, age
+        if best is not None and best_age >= self.max_delay_s:
+            return best
+        return None
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            tid = self._ready_task()
+            if tid is None:
+                if self._closed and all(
+                        q.empty() for q in self._queues.values()):
+                    return
+                self._wake.wait(timeout=self.max_delay_s / 2
+                                if self.max_delay_s > 0 else 0.001)
+                self._wake.clear()
+                if self._closed:
+                    # drain whatever remains before exiting
+                    tid = next((t for t, q in self._queues.items()
+                                if not q.empty()), None)
+                    if tid is None:
+                        return
+                else:
+                    continue
+
+            items = []
+            q = self._queues[tid]
+            while len(items) < self.max_batch:
+                try:
+                    items.append(q.get_nowait())
+                except queue.Empty:
+                    break
+            if not items:
+                continue
+            n_real = len(items)
+            images = np.stack([it[0] for it in items])
+            if n_real < self.max_batch:  # pad: fixed shapes, no recompiles
+                pad = np.repeat(images[-1:], self.max_batch - n_real,
+                                axis=0)
+                images = np.concatenate([images, pad])
+            try:
+                preds = self.predictor.predict_images(images, tid)[:n_real]
+                for (_, fut, _), pred in zip(items, preds):
+                    fut.set_result(np.asarray(pred))
+            except Exception as e:  # pragma: no cover - device failure
+                for _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(e)

@@ -149,15 +149,16 @@ def convert_swin(sd: Dict[str, np.ndarray],
         return _swin_block_params(sd, f"layers.{stage}.blocks.{b}",
                                   target_window)
 
+    # downsample layout: original Microsoft / old-timm keeps PatchMerging at
+    # the END of the PREVIOUS stage (so layers.0.downsample exists); modern
+    # timm (>=0.9) puts it at the START of the stage it feeds (so stage 0
+    # has none). Detect once from layers.0.
+    old_layout = "layers.0.downsample.reduction.weight" in sd
+
     for stage, depth in enumerate(depths):
         if stage > 0:
-            # modern timm (>=0.9): downsample at START of stage `stage`
-            # (layers.{stage}.downsample); original Microsoft / old-timm
-            # layout: at END of the previous stage. Accept both.
-            if f"layers.{stage}.downsample.reduction.weight" in sd:
-                ds = f"layers.{stage}.downsample"
-            else:
-                ds = f"layers.{stage - 1}.downsample"
+            ds = (f"layers.{stage - 1}.downsample" if old_layout
+                  else f"layers.{stage}.downsample")
             params[f"merge{stage}"] = _merge_params(sd, ds)
         if scan_blocks and depth % 2 == 0 and depth > 0:
             even = [block(stage, b) for b in range(0, depth, 2)]

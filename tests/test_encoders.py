@@ -132,3 +132,28 @@ def test_freeze_dino_labels():
     assert labels["model"]["encoder"]["backbone"]["w"] == "frozen"
     assert labels["model"]["encoder"]["adapter"]["w"] == "encoder"
     assert labels["model"]["fpn_seg"]["w"] == "head"
+
+
+def test_softmax_bf16_close_to_f32_scores():
+    """bf16 score/softmax path: same module, small numeric drift only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fmc_uia_tpu.models.encoders.swin import SwinEncoder
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                    jnp.float32)
+    outs = {}
+    for flag in (False, True):
+        enc = SwinEncoder(embed_dim=32, depths=(1, 1, 1, 1),
+                          num_heads=(2, 2, 4, 4), window_size=8,
+                          drop_path_rate=0.0, scan_blocks=False,
+                          softmax_bf16=flag, dtype=jnp.bfloat16)
+        variables = enc.init(jax.random.PRNGKey(0), x)
+        outs[flag] = enc.apply(variables, x)
+    for f_out, b_out in zip(outs[False], outs[True]):
+        a = np.asarray(f_out, np.float32)
+        b = np.asarray(b_out, np.float32)
+        denom = np.maximum(np.abs(a), 1e-3)
+        assert np.median(np.abs(a - b) / denom) < 0.05

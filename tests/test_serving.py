@@ -1,0 +1,69 @@
+"""StreamingPredictor: micro-batching, padding, per-task routing."""
+
+import copy
+
+import jax
+import numpy as np
+import pytest
+
+from fmc_uia_tpu.config import Config
+from fmc_uia_tpu.models import build_model
+from fmc_uia_tpu.models.multitask import init_variables
+from fmc_uia_tpu.serving import StreamingPredictor
+from fmc_uia_tpu.tasks import TaskRegistry
+from tests.helpers import TINY_CONFIG
+
+S = 64
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = Config(config_dict=copy.deepcopy(TINY_CONFIG))
+    reg = TaskRegistry.from_config(cfg)
+    model = build_model(cfg, reg)
+    variables = init_variables(model, jax.random.PRNGKey(0), S, 2)
+    svc = StreamingPredictor(
+        model, variables["params"], reg,
+        mean=[0.33] * 3, std=[0.18] * 3, image_size=S,
+        max_batch=4, max_delay_ms=5.0)
+    yield svc
+    svc.close()
+
+
+def test_single_requests_all_task_types(service):
+    rng = np.random.RandomState(0)
+    futs = {
+        "T2A_organ_a": service.submit(
+            rng.randint(0, 255, (S, S, 3), dtype=np.uint8), "T2A_organ_a"),
+        "T1_planes": service.submit(
+            rng.randint(0, 255, (S, S, 3), dtype=np.uint8), "T1_planes"),
+        "T4_box": service.submit(
+            rng.randint(0, 255, (S, S, 3), dtype=np.uint8), "T4_box"),
+        "T5_points": service.submit(
+            rng.randint(0, 255, (S, S, 3), dtype=np.uint8), "T5_points"),
+    }
+    seg = futs["T2A_organ_a"].result(timeout=120)
+    assert seg.shape == (S, S)  # class-id mask
+    cls = futs["T1_planes"].result(timeout=120)
+    assert cls.shape == () and 0 <= int(cls) < 3
+    box = futs["T4_box"].result(timeout=120)
+    assert box.shape == (4,)
+    pts = futs["T5_points"].result(timeout=120)
+    assert pts.ndim == 1 and pts.shape[0] >= 4
+
+
+def test_batch_of_many_requests(service):
+    rng = np.random.RandomState(1)
+    futs = [service.submit(
+        rng.randint(0, 255, (S, S, 3), dtype=np.uint8), "T1_planes")
+        for _ in range(11)]  # 2 full batches of 4 + padded tail of 3
+    results = [f.result(timeout=120) for f in futs]
+    assert len(results) == 11
+    assert all(0 <= int(r) < 3 for r in results)
+
+
+def test_validation_errors(service):
+    with pytest.raises(KeyError):
+        service.submit(np.zeros((S, S, 3), np.uint8), "nope")
+    with pytest.raises(ValueError):
+        service.submit(np.zeros((S + 1, S, 3), np.uint8), "T1_planes")
