@@ -104,6 +104,19 @@ def build_bench(encoder: str, image_size: int, batch: int):
     # window 8: tile-aligned, pad-free windows (see swin.py build_swin)
     cfg.config["model"]["encoder"]["softmax_bf16"] = (
         os.environ.get("BENCH_SOFTMAX_BF16", "1") == "1")
+    # bf16 LayerNorm outputs (stats stay f32 inside flax): +4.8% measured
+    cfg.config["model"]["encoder"]["ln_bf16"] = (
+        os.environ.get("BENCH_LN_BF16", "1") == "1")
+    # unroll stage 2 (scan only 0,1,3): kills the scanned-param
+    # dynamic-slice/DUS traffic of the 18-block stage; +4% measured, at
+    # ~2.5x its compile time
+    scan_env = os.environ.get("BENCH_SCAN_STAGES", "0,1,3")  # "" = scan all
+    if scan_env:
+        cfg.config["model"]["encoder"]["scan_stages"] = (
+            [int(s) for s in scan_env.split(",")])
+    # fused Pallas attention branch (LN+partition+qkv+attn+proj in VMEM)
+    cfg.config["model"]["encoder"]["fused_block"] = (
+        os.environ.get("BENCH_FUSED", "0") == "1")
     cfg.config["model"]["encoder"]["window_size"] = int(
         os.environ.get("BENCH_WINDOW", "8"))
     cfg._set_attributes()

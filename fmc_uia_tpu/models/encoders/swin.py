@@ -88,6 +88,56 @@ def window_unpartition(windows: jax.Array, ws: int, hp: int, wp: int
     return x.reshape(B, hp, wp, C)
 
 
+class _DenseParams(nn.Module):
+    """Declare an nn.Dense-compatible {kernel, bias} pair WITHOUT applying
+    it — used by the fused-kernel path so its raw weights live at the same
+    param paths (attn/qkv/kernel, ...) as the XLA path's nn.Dense modules,
+    keeping checkpoints and the timm converter mode-agnostic."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _AttnParams(nn.Module):
+    """Parameter container matching WindowAttention's tree exactly."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(3 * self.dim, name="qkv")(self.dim)
+        wproj, bproj = _DenseParams(self.dim, name="proj")(self.dim)
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, self.num_heads), jnp.float32,
+        )
+        return wqkv, bqkv, wproj, bproj, table
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm-compatible {scale, bias} declaration (no application)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
 class WindowAttention(nn.Module):
     """Multi-head self-attention inside ws x ws windows with relative bias.
 
@@ -189,7 +239,22 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0  # used when no call-arg rate is given
     softmax_bf16: bool = False
+    # LayerNorm outputs in the compute dtype instead of f32. flax computes
+    # the mean/var statistics in f32 either way (_compute_stats upcasts), so
+    # this only halves the materialized LN output tensors — pure HBM-traffic
+    # savings on the [B,H,W,C] activations feeding qkv / mlp_fc1.
+    ln_bf16: bool = False
+    # fused Pallas attention branch: LN1 + window partition + qkv +
+    # attention + proj + unpartition in ONE kernel (VMEM-resident
+    # intermediates, f32 softmax). ~2x over the XLA chain at swin_b
+    # stage-0/1 scale, fwd AND fwd+bwd (scripts/probe_fused_block.py;
+    # PERF.md). Param tree is identical to the XLA path.
+    fused_block: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    @property
+    def ln_dtype(self):
+        return self.dtype if self.ln_bf16 else jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -208,11 +273,6 @@ class SwinBlock(nn.Module):
         pad = (hp != H) or (wp != W)
 
         shortcut = x
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        if pad:
-            y = jnp.pad(y, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
-        if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
 
         # static additive attention mask (shift regions + padding)
         mask_np = None
@@ -234,12 +294,43 @@ class SwinBlock(nn.Module):
             mask_np = pad_mask if mask_np is None else mask_np + pad_mask
         attn_mask = None if mask_np is None else jnp.asarray(mask_np)
 
-        windows = window_partition(y, ws)
-        windows = WindowAttention(
-            dim=C, num_heads=self.num_heads, window_size=ws,
-            softmax_bf16=self.softmax_bf16,
-            dtype=self.dtype, name="attn")(windows, attn_mask)
-        y = window_unpartition(windows, ws, hp, wp)
+        if self.fused_block:
+            # fused Pallas branch: LN applied INSIDE the kernel, so pad/roll
+            # the raw input. LN over all-zero pad rows yields `bias` there,
+            # but pad keys are masked and pad-query outputs are cropped —
+            # semantics match the XLA path on the kept region.
+            from fmc_uia_tpu.ops.swin_block_pallas import (
+                fused_attention_branch,
+            )
+
+            y = x.astype(self.dtype)
+            if pad:
+                y = jnp.pad(y, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
+            if shift > 0:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            ln_scale, ln_bias = _LNParams(C, name="norm1")()
+            wqkv, bqkv, wproj, bproj, table = _AttnParams(
+                dim=C, num_heads=self.num_heads, window_size=ws,
+                name="attn")()
+            rel_idx = jnp.asarray(_relative_position_index(ws).reshape(-1))
+            bias = jnp.take(table, rel_idx, axis=0)
+            bias = bias.reshape(ws * ws, ws * ws,
+                                self.num_heads).transpose(2, 0, 1)
+            y = fused_attention_branch(y, ln_scale, ln_bias, wqkv, bqkv,
+                                       wproj, bproj, bias, attn_mask,
+                                       self.num_heads)
+        else:
+            y = nn.LayerNorm(dtype=self.ln_dtype, name="norm1")(x)
+            if pad:
+                y = jnp.pad(y, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
+            if shift > 0:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            windows = window_partition(y, ws)
+            windows = WindowAttention(
+                dim=C, num_heads=self.num_heads, window_size=ws,
+                softmax_bf16=self.softmax_bf16,
+                dtype=self.dtype, name="attn")(windows, attn_mask)
+            y = window_unpartition(windows, ws, hp, wp)
 
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -248,7 +339,7 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(name="drop_path1")(
             y, deterministic=not train, rate=dp_rate)
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(dtype=self.ln_dtype, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y)
@@ -272,6 +363,8 @@ class SwinBlockPair(nn.Module):
     window_size: int
     mlp_ratio: float = 4.0
     softmax_bf16: bool = False
+    ln_bf16: bool = False
+    fused_block: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -280,13 +373,15 @@ class SwinBlockPair(nn.Module):
         x = SwinBlock(dim=self.dim, num_heads=self.num_heads,
                       window_size=self.window_size, shift=0,
                       mlp_ratio=self.mlp_ratio,
-                      softmax_bf16=self.softmax_bf16, dtype=self.dtype,
+                      softmax_bf16=self.softmax_bf16, ln_bf16=self.ln_bf16,
+                      fused_block=self.fused_block, dtype=self.dtype,
                       name="block0")(x, train, rates[0])
         x = SwinBlock(dim=self.dim, num_heads=self.num_heads,
                       window_size=self.window_size,
                       shift=self.window_size // 2,
                       mlp_ratio=self.mlp_ratio,
-                      softmax_bf16=self.softmax_bf16, dtype=self.dtype,
+                      softmax_bf16=self.softmax_bf16, ln_bf16=self.ln_bf16,
+                      fused_block=self.fused_block, dtype=self.dtype,
                       name="block1")(x, train, rates[1])
         return x, None
 
@@ -294,6 +389,7 @@ class SwinBlockPair(nn.Module):
 class PatchMerging(nn.Module):
     """2x2 neighborhood concat -> LN -> Linear(4C -> 2C)."""
 
+    ln_bf16: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -304,7 +400,8 @@ class PatchMerging(nn.Module):
             H, W = x.shape[1], x.shape[2]
         x = x.reshape(B, H // 2, 2, W // 2, 2, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(dtype=self.dtype if self.ln_bf16 else jnp.float32,
+                         name="norm")(x)
         return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 
@@ -328,7 +425,14 @@ class SwinEncoder(nn.Module):
     # spot at 512^2.
     remat_stages: Optional[Sequence[int]] = None
     scan_blocks: bool = True  # nn.scan over block pairs (compile-time)
+    # which stages scan (None = all). Scanning stage 2 (18 blocks) cuts
+    # compile ~9x but its stacked params pay dynamic-slice reads fwd and
+    # dynamic-update-slice grad writes bwd (~5% of the step in the r2
+    # profile); unrolling it trades compile time back for those copies.
+    scan_stages: Optional[Sequence[int]] = None
     softmax_bf16: bool = False  # bf16 scores/softmax (see WindowAttention)
+    ln_bf16: bool = False  # bf16 LayerNorm outputs (stats stay f32)
+    fused_block: bool = False  # fused Pallas attention branch (SwinBlock)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -366,10 +470,13 @@ class SwinEncoder(nn.Module):
         for stage, depth in enumerate(self.depths):
             block_cls, pair_cls = stage_classes(stage)
             if stage > 0:
-                x = PatchMerging(dtype=self.dtype,
+                x = PatchMerging(dtype=self.dtype, ln_bf16=self.ln_bf16,
                                  name=f"merge{stage}")(x)
             dim = self.embed_dim * (2**stage)
-            if self.scan_blocks and depth % 2 == 0 and depth > 0:
+            scan_this = self.scan_blocks and (
+                self.scan_stages is None
+                or stage in tuple(self.scan_stages))
+            if scan_this and depth % 2 == 0 and depth > 0:
                 n_pairs = depth // 2
                 rates = jnp.asarray(
                     dpr[block_id : block_id + depth], jnp.float32
@@ -387,6 +494,8 @@ class SwinEncoder(nn.Module):
                     window_size=self.window_size,
                     mlp_ratio=self.mlp_ratio,
                     softmax_bf16=self.softmax_bf16,
+                    ln_bf16=self.ln_bf16,
+                    fused_block=self.fused_block,
                     dtype=self.dtype,
                     name=f"stage{stage}_scan",
                 )(x, rates, train)
@@ -401,6 +510,8 @@ class SwinEncoder(nn.Module):
                         mlp_ratio=self.mlp_ratio,
                         drop_path=float(dpr[block_id]),
                         softmax_bf16=self.softmax_bf16,
+                        ln_bf16=self.ln_bf16,
+                        fused_block=self.fused_block,
                         dtype=self.dtype,
                         name=f"stage{stage}_block{b}",
                     )(x, train)  # positional: remat static_argnums=(2,)
@@ -444,12 +555,22 @@ def build_swin(name: str, config=None, dtype=jnp.float32) -> SwinEncoder:
     remat_policy = "full"
     remat_stages = None
     softmax_bf16 = False
+    ln_bf16 = False
     if config is not None:
         remat_policy = str(config.get("model.encoder.remat_policy", "full"))
         rs = config.get("model.encoder.remat_stages")
         remat_stages = tuple(int(s) for s in rs) if rs is not None else None
         softmax_bf16 = bool(config.get("model.encoder.softmax_bf16", False))
+        ln_bf16 = bool(config.get("model.encoder.ln_bf16", False))
+        fused_block = bool(config.get("model.encoder.fused_block", False))
+    scan_stages = None
+    if config is None:
+        fused_block = False
+    else:
+        ss = config.get("model.encoder.scan_stages")
+        scan_stages = tuple(int(s) for s in ss) if ss is not None else None
     return SwinEncoder(dtype=dtype, drop_path_rate=drop_path, remat=remat,
                        remat_policy=remat_policy, window_size=window,
                        remat_stages=remat_stages, softmax_bf16=softmax_bf16,
-                       **kwargs)
+                       ln_bf16=ln_bf16, scan_stages=scan_stages,
+                       fused_block=fused_block, **kwargs)

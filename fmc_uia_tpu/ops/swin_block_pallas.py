@@ -1,0 +1,320 @@
+"""Fused Swin attention branch as a Pallas TPU kernel.
+
+Fuses LN1 -> window partition -> qkv -> per-window attention (rel-pos bias
++ shift/pad mask, f32 softmax) -> output projection -> window unpartition
+into ONE kernel. The XLA path materializes every intermediate of that chain
+in HBM ([B,Hp,Wp,C] activations, [B*nW,N,3C] qkv, [B*nW,H,N,N] scores);
+at swin_b stages 0/1 (128^2/64^2 grids) those round-trips — not the
+matmul FLOPs — dominate the step time (PERF.md r2 profile: ~23% raw data
+movement, stages 0/1 ≈ half the encoder time). Here the only HBM traffic
+is: read x tile + weights, write y tile. Scores live in VMEM in f32 — the
+kernel is simultaneously *more* numerically conservative than the XLA
+``softmax_bf16`` path and cheaper.
+
+Round 1's retired kernel (see PERF.md "Fused Pallas window attention")
+fused only scores/softmax and lost to XLA; the lesson recorded there was
+that a win requires fusing the *layout* work (partition/unpartition) and
+the projections too. This kernel is that formulation.
+
+Grid: ``(B, Hp/ws)`` — one program per row of windows. Each program:
+
+  tile [ws, Wp, C] -> windows [G, N, C] (VMEM relayout, G = Wp/ws,
+  N = ws*ws) -> f32 LN -> [G*N, C] @ Wqkv (MXU) -> per-head batched
+  [G,N,dh] x [G,N,dh] scores (MXU, f32 accum) -> +bias +mask -> f32
+  softmax -> @v -> concat heads -> @ Wproj -> tile [ws, Wp, C].
+
+Backward = recompute-in-VMEM: a second kernel re-runs the forward on the
+tile and differentiates it with ``jax.vjp`` *inside* the kernel (the
+pullback is ordinary traced JAX, so Mosaic compiles it like hand-written
+code); weight/bias/LN grads accumulate in f32 across the sequential grid.
+The ``rel_pos_bias`` table expansion (gather by relative-position index)
+happens OUTSIDE the custom_vjp boundary, so its gradient (scatter-add back
+to the table) is handled by XLA autodiff.
+
+Constraints: Wp % ws == 0 (callers pad; window 8 on power-of-two inputs is
+exact), C % num_heads == 0. The shift roll happens outside (cheap,
+differentiable); the combined shift+pad additive mask is passed per window
+row as ``mask[row]`` with shape [G, N, N] (or None when neither applies).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LN_EPS = 1e-6
+
+
+def _interpret() -> bool:
+    """Pallas TPU kernels run in interpreter mode on CPU (tests / the
+    virtual multi-chip mesh); compiled Mosaic on real TPUs."""
+    return jax.default_backend() != "tpu"
+
+
+def _branch_math(x_tile, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                 bias_hnn, mask_gnn, *, num_heads: int, ws: int,
+                 compute_dtype):
+    """The fused branch on one [ws, Wp, C] tile — pure jnp, used by both
+    the forward kernel and (via jax.vjp) the backward kernel."""
+    Ws, Wp, C = x_tile.shape
+    G = Wp // ws
+    N = ws * ws
+    H = num_heads
+    dh = C // H
+
+    # window partition (VMEM relayout)
+    xw = x_tile.reshape(ws, G, ws, C).transpose(1, 0, 2, 3)
+    xf = xw.reshape(G * N, C).astype(jnp.float32)
+
+    # LayerNorm in f32 (flax fast-variance formula, eps 1e-6)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xh = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    xn = (xh * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(compute_dtype)
+
+    qkv = jnp.dot(xn, wqkv.astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv.astype(jnp.float32)
+    qkv = qkv.astype(compute_dtype)
+
+    q = qkv[:, :C].reshape(G, N, C)
+    k = qkv[:, C:2 * C].reshape(G, N, C)
+    v = qkv[:, 2 * C:].reshape(G, N, C)
+
+    scale = jnp.asarray(dh ** -0.5, compute_dtype)
+    heads = []
+    for h in range(H):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q[:, :, sl] * scale
+        kh = k[:, :, sl]
+        vh = v[:, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [G, N, N]
+        s = s + bias_hnn[h].astype(jnp.float32)
+        if mask_gnn is not None:
+            s = s + mask_gnn.astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(compute_dtype)
+        oh = jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [G, N, dh]
+        heads.append(oh.astype(compute_dtype))
+
+    o = jnp.concatenate(heads, axis=-1).reshape(G * N, C)
+    y = jnp.dot(o, wproj.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    y = (y + bproj.astype(jnp.float32)).astype(compute_dtype)
+    # window unpartition back to the tile layout
+    y = y.reshape(G, ws, ws, C).transpose(1, 0, 2, 3).reshape(ws, Wp, C)
+    return y
+
+
+def _fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                bproj_ref, bias_ref, mask_ref, out_ref, *, num_heads, ws,
+                compute_dtype, has_mask):
+    mask = mask_ref[0] if has_mask else None
+    out_ref[0] = _branch_math(
+        x_ref[0], lns_ref[0], lnb_ref[0], wqkv_ref[:], bqkv_ref[0],
+        wproj_ref[:], bproj_ref[0], bias_ref[:], mask,
+        num_heads=num_heads, ws=ws, compute_dtype=compute_dtype)
+
+
+def _bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                bproj_ref, bias_ref, mask_ref, dy_ref,
+                dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+                dwproj_ref, dbproj_ref, dbias_ref, *, num_heads, ws,
+                compute_dtype, has_mask):
+    mask = mask_ref[0] if has_mask else None
+
+    def f(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias):
+        return _branch_math(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj,
+                            bias, mask, num_heads=num_heads, ws=ws,
+                            compute_dtype=compute_dtype)
+
+    _, pull = jax.vjp(f, x_ref[0], lns_ref[0], lnb_ref[0], wqkv_ref[:],
+                      bqkv_ref[0], wproj_ref[:], bproj_ref[0], bias_ref[:])
+    dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias = pull(dy_ref[0])
+
+    dx_ref[0] = dx
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dlns_ref[0] = dlns.astype(jnp.float32)
+        dlnb_ref[0] = dlnb.astype(jnp.float32)
+        dwqkv_ref[:] = dwqkv.astype(jnp.float32)
+        dbqkv_ref[0] = dbqkv.astype(jnp.float32)
+        dwproj_ref[:] = dwproj.astype(jnp.float32)
+        dbproj_ref[0] = dbproj.astype(jnp.float32)
+        dbias_ref[:] = dbias.astype(jnp.float32)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dlns_ref[0] += dlns.astype(jnp.float32)
+        dlnb_ref[0] += dlnb.astype(jnp.float32)
+        dwqkv_ref[:] += dwqkv.astype(jnp.float32)
+        dbqkv_ref[0] += dbqkv.astype(jnp.float32)
+        dwproj_ref[:] += dwproj.astype(jnp.float32)
+        dbproj_ref[0] += dbproj.astype(jnp.float32)
+        dbias_ref[:] += dbias.astype(jnp.float32)
+
+
+def _specs(B, Hp, Wp, C, H, N, ws, has_mask, nrows, G):
+    """(grid, in_specs) shared by fwd and bwd."""
+    grid = (B, nrows)
+    x_spec = pl.BlockSpec((1, ws, Wp, C), lambda b, r: (b, r, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const = lambda b, r: (0, 0)  # noqa: E731
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),   # ln scale
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),   # ln bias
+        pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, N, N), lambda b, r: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, G, N, N), lambda b, r: (r, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:  # dummy scalar placeholder (never read)
+        in_specs.append(pl.BlockSpec((1, 1), const,
+                                     memory_space=pltpu.VMEM))
+    return grid, in_specs, x_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _fused_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias_hnn,
+                  mask_rgnn, num_heads):
+    return _fused_branch_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                                  bproj, bias_hnn, mask_rgnn, num_heads)
+
+
+def _fused_branch_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                           bias_hnn, mask_rgnn, num_heads):
+    B, Hp, Wp, C = x.shape
+    H = num_heads
+    N = bias_hnn.shape[-1]
+    ws = int(round(N ** 0.5))
+    nrows = Hp // ws
+    G = Wp // ws
+    has_mask = mask_rgnn is not None
+    grid, in_specs, x_spec = _specs(B, Hp, Wp, C, H, N, ws, has_mask,
+                                    nrows, G)
+    kern = functools.partial(_fwd_kernel, num_heads=H, ws=ws,
+                             compute_dtype=x.dtype, has_mask=has_mask)
+    mask_arg = (mask_rgnn if has_mask
+                else jnp.zeros((1, 1), jnp.float32))
+    return pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs, out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=_interpret(),
+    )(x, ln_scale[None], ln_bias[None], wqkv, bqkv[None], wproj,
+      bproj[None], bias_hnn, mask_arg)
+
+
+def _fused_branch_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                      bias_hnn, mask_rgnn, num_heads):
+    y = _fused_branch_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                               bproj, bias_hnn, mask_rgnn, num_heads)
+    return y, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias_hnn,
+               mask_rgnn)
+
+
+def _fused_branch_bwd(num_heads, res, dy):
+    (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias_hnn,
+     mask_rgnn) = res
+    B, Hp, Wp, C = x.shape
+    H = num_heads
+    N = bias_hnn.shape[-1]
+    ws = int(round(N ** 0.5))
+    nrows = Hp // ws
+    G = Wp // ws
+    has_mask = mask_rgnn is not None
+    grid, in_specs, x_spec = _specs(B, Hp, Wp, C, H, N, ws, has_mask,
+                                    nrows, G)
+    in_specs = in_specs + [x_spec]  # dy blocked like x
+    const = lambda b, r: (0, 0)  # noqa: E731
+    out_specs = [
+        x_spec,  # dx
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, N, N), lambda b, r: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+        jax.ShapeDtypeStruct((C, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+    ]
+    kern = functools.partial(_bwd_kernel, num_heads=H, ws=ws,
+                             compute_dtype=x.dtype, has_mask=has_mask)
+    mask_arg = (mask_rgnn if has_mask
+                else jnp.zeros((1, 1), jnp.float32))
+    outs = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+        # the recompute-vjp body needs slightly more scoped VMEM than the
+        # conservative 16 MB default at the stage-0 tile size (16.2 MB)
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, ln_scale[None], ln_bias[None], wqkv, bqkv[None], wproj,
+      bproj[None], bias_hnn, mask_arg, dy)
+    dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias = outs
+    dmask = None if mask_rgnn is None else jnp.zeros_like(mask_rgnn)
+    return (dx,
+            dlns[0].astype(ln_scale.dtype),
+            dlnb[0].astype(ln_bias.dtype),
+            dwqkv.astype(wqkv.dtype),
+            dbqkv[0].astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype),
+            dbproj[0].astype(bproj.dtype),
+            dbias.astype(bias_hnn.dtype),
+            dmask)
+
+
+_fused_branch.defvjp(_fused_branch_fwd, _fused_branch_bwd)
+
+
+def fused_attention_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                           bias_hnn, mask_gnn: Optional[jax.Array],
+                           num_heads: int):
+    """LN1 + windowed MHSA + proj on ``x`` [B, Hp, Wp, C] (pre-roll applied
+    by the caller). ``bias_hnn``: [H, N, N] expanded rel-pos bias (gradient
+    to the table flows through the outside gather). ``mask_gnn``: [nW, N, N]
+    additive shift/pad mask or None; reshaped per window row internally.
+    Returns the branch output (pre-residual), same shape/dtype as ``x``.
+    """
+    B, Hp, Wp, C = x.shape
+    N = bias_hnn.shape[-1]
+    ws = int(round(N ** 0.5))
+    if Hp % ws or Wp % ws:
+        raise ValueError(f"padded grid ({Hp},{Wp}) must be divisible by "
+                         f"window {ws}")
+    mask_rgnn = None
+    if mask_gnn is not None:
+        nrows, G = Hp // ws, Wp // ws
+        # pad-only masks are built broadcastable ([nW, 1, N]); expand
+        mask_gnn = jnp.broadcast_to(mask_gnn,
+                                    (mask_gnn.shape[0], N, N))
+        mask_rgnn = mask_gnn.reshape(nrows, G, N, N)
+    return _fused_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                         bias_hnn, mask_rgnn, num_heads)

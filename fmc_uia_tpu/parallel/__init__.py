@@ -15,8 +15,24 @@ from fmc_uia_tpu.parallel.distributed import (
     make_hybrid_mesh,
     mesh_from_config,
 )
+from fmc_uia_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_loss_fn,
+    shard_stage_params,
+    stack_stage_params,
+)
+from fmc_uia_tpu.parallel.expert import (
+    default_capacity,
+    ragged_moe_apply,
+)
 
 __all__ = [
+    "pipeline_apply",
+    "pipeline_loss_fn",
+    "shard_stage_params",
+    "stack_stage_params",
+    "default_capacity",
+    "ragged_moe_apply",
     "make_mesh",
     "replicate",
     "shard_batch",

@@ -157,3 +157,77 @@ def test_softmax_bf16_close_to_f32_scores():
         b = np.asarray(b_out, np.float32)
         denom = np.maximum(np.abs(a), 1e-3)
         assert np.median(np.abs(a - b) / denom) < 0.05
+
+
+def test_ln_bf16_close_to_f32_layernorm():
+    """bf16 LayerNorm outputs (stats stay f32 in flax): bounded drift vs
+    the f32-LN path on identical params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fmc_uia_tpu.models.encoders.swin import SwinEncoder
+
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3),
+                    jnp.float32)
+    outs = {}
+    variables = None
+    for flag in (False, True):
+        enc = SwinEncoder(embed_dim=32, depths=(1, 1, 1, 1),
+                          num_heads=(2, 2, 4, 4), window_size=8,
+                          drop_path_rate=0.0, scan_blocks=False,
+                          ln_bf16=flag, dtype=jnp.bfloat16)
+        if variables is None:
+            variables = enc.init(jax.random.PRNGKey(0), x)
+        outs[flag] = enc.apply(variables, x)
+    for f_out, b_out in zip(outs[False], outs[True]):
+        a = np.asarray(f_out, np.float32)
+        b = np.asarray(b_out, np.float32)
+        denom = np.maximum(np.abs(a), 1e-3)
+        assert np.median(np.abs(a - b) / denom) < 0.05
+
+
+def test_fused_block_matches_xla_path():
+    """Fused Pallas attention branch (interpret mode on CPU): identical
+    param tree and near-identical numerics vs the XLA path, fwd + grad.
+    64^2 input exercises shift masks (stage-0 grid 16 > ws) and pad masks
+    (stage-2 grid 4 < ws=8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fmc_uia_tpu.models.encoders.swin import SwinEncoder
+
+    kw = dict(embed_dim=32, depths=(2, 1, 1, 1), num_heads=(2, 2, 4, 4),
+              window_size=8, drop_path_rate=0.0, scan_blocks=False,
+              dtype=jnp.float32)
+    enc_x = SwinEncoder(fused_block=False, **kw)
+    enc_f = SwinEncoder(fused_block=True, **kw)
+
+    x = jnp.asarray(np.random.RandomState(7).rand(1, 64, 64, 3),
+                    jnp.float32)
+    vx = enc_x.init(jax.random.PRNGKey(0), x)
+    vf = enc_f.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(vx)
+            == jax.tree_util.tree_structure(vf)), "param tree diverged"
+
+    outs_x = enc_x.apply(vx, x)
+    outs_f = enc_f.apply(vx, x)  # same params on both paths
+    for a, b in zip(outs_x, outs_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+    def loss(params, mod):
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2)
+                   for o in mod.apply({"params": params}, x))
+
+    gx = jax.grad(lambda p: loss(p, enc_x))(vx["params"])
+    gf = jax.grad(lambda p: loss(p, enc_f))(vx["params"])
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gx)[0],
+            jax.tree_util.tree_flatten_with_path(gf)[0]):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.max(np.abs(a - b)) / scale < 5e-3, (
+            jax.tree_util.keystr(pa), np.max(np.abs(a - b)), scale)

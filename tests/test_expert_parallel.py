@@ -88,3 +88,106 @@ def test_ep_train_step_matches_replicated():
     np.testing.assert_allclose(float(logs_ep["total_loss"]),
                                float(logs_rep["total_loss"]),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Ragged (all_to_all token dispatch) expert parallelism — parallel/expert.py
+# ---------------------------------------------------------------------------
+from fmc_uia_tpu.parallel.expert import (  # noqa: E402
+    default_capacity,
+    dense_moe_reference,
+    ragged_moe_apply,
+)
+
+
+def _expert_fn(params, tokens):
+    # tokens: [n, F]; params: {'w': [F, F], 'b': [F]}
+    return jnp.tanh(tokens @ params["w"] + params["b"])
+
+
+def _make_moe_inputs(rng, B=16, E=8, F=32):
+    x = jnp.asarray(rng.randn(B, F), jnp.float32)
+    logits = jnp.asarray(rng.randn(B, E), jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    params = {
+        "w": jnp.asarray(rng.randn(E, F, F) * 0.2, jnp.float32),
+        "b": jnp.asarray(rng.randn(E, F) * 0.1, jnp.float32),
+    }
+    return x, probs, params
+
+
+def test_ragged_dispatch_matches_dense_no_drops():
+    """With capacity >= local_tokens * top_k nothing overflows and the
+    all_to_all dispatch must reproduce the dense all-expert combine."""
+    rng = np.random.RandomState(1)
+    B, E, F, K = 16, 8, 32, 2
+    x, probs, params = _make_moe_inputs(rng, B, E, F)
+    mesh = make_mesh(jax.devices()[:4], axes=("model",))
+
+    ref = dense_moe_reference(_expert_fn, params, x, probs, top_k=K)
+    # capacity_factor E/K makes capacity == bloc * top_k -> zero drops
+    out = ragged_moe_apply(_expert_fn, params, x, probs, mesh,
+                           axis="model", top_k=K, capacity_factor=E / K)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_dispatch_top1():
+    rng = np.random.RandomState(2)
+    B, E, F = 16, 8, 16
+    x, probs, params = _make_moe_inputs(rng, B, E, F)
+    mesh = make_mesh(jax.devices()[:4], axes=("model",))
+    ref = dense_moe_reference(_expert_fn, params, x, probs, top_k=1)
+    out = ragged_moe_apply(_expert_fn, params, x, probs, mesh,
+                           axis="model", top_k=1, capacity_factor=float(E))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_dispatch_capacity_drops_are_bounded():
+    """With a tight capacity, output is a masked version of dense: every
+    token's output is either the dense value or zero (dropped), never
+    garbage."""
+    rng = np.random.RandomState(3)
+    B, E, F = 16, 4, 8
+    x, probs, params = _make_moe_inputs(rng, B, E, F)
+    mesh = make_mesh(jax.devices()[:4], axes=("model",))
+    ref = np.asarray(
+        dense_moe_reference(_expert_fn, params, x, probs, top_k=1))
+    out = np.asarray(
+        ragged_moe_apply(_expert_fn, params, x, probs, mesh,
+                         axis="model", top_k=1, capacity_factor=1.0))
+    ok = (np.isclose(out, ref, rtol=1e-4, atol=1e-5)
+          | np.isclose(out, 0.0, atol=1e-6))
+    assert ok.all()
+
+
+def test_ragged_dispatch_under_jit_and_grad():
+    rng = np.random.RandomState(4)
+    B, E, F, K = 16, 8, 16, 2
+    x, probs, params = _make_moe_inputs(rng, B, E, F)
+    mesh = make_mesh(jax.devices()[:4], axes=("model",))
+
+    def loss(p, xx, pp):
+        out = ragged_moe_apply(_expert_fn, p, xx, pp, mesh,
+                               axis="model", top_k=K,
+                               capacity_factor=E / K)
+        return jnp.mean(out ** 2)
+
+    def dense_loss(p, xx, pp):
+        return jnp.mean(
+            dense_moe_reference(_expert_fn, p, xx, pp, top_k=K) ** 2)
+
+    v, g = jax.jit(jax.value_and_grad(loss))(params, x, probs)
+    v_ref, g_ref = jax.value_and_grad(dense_loss)(params, x, probs)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_default_capacity_guarantee():
+    assert default_capacity(4, 8, 2, capacity_factor=4.0) == 4
+    # factor E/K -> cap == bloc * K (zero-drop bound)
+    assert default_capacity(4, 8, 2, capacity_factor=8 / 2) == 4
