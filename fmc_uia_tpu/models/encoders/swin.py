@@ -250,6 +250,9 @@ class SwinBlock(nn.Module):
     # stage-0/1 scale, fwd AND fwd+bwd (scripts/probe_fused_block.py;
     # PERF.md). Param tree is identical to the XLA path.
     fused_block: bool = False
+    # fused Pallas MLP branch: LN2 + fc1 + gelu + fc2 in one kernel (saves
+    # the 4C-wide fc1/gelu HBM round-trips).
+    fused_mlp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -339,11 +342,25 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(name="drop_path1")(
             y, deterministic=not train, rate=dp_rate)
 
-        y = nn.LayerNorm(dtype=self.ln_dtype, name="norm2")(x)
-        y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
-                     name="mlp_fc1")(y)
-        y = nn.gelu(y)
-        y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
+        # fused MLP only pays where the branch is activation-bound: at
+        # C<=256 (stages 0/1) the kernel beats XLA fwd+bwd by 30-43%; at
+        # C=512 it ties and at C=1024 the f32 weight pair alone (32 MB)
+        # crowds VMEM (scripts/probe_fused_mlp.py, PERF.md).
+        if self.fused_mlp and C <= 256:
+            from fmc_uia_tpu.ops.swin_block_pallas import fused_mlp_branch
+
+            hidden = int(C * self.mlp_ratio)
+            ln2_s, ln2_b = _LNParams(C, name="norm2")()
+            w1, b1 = _DenseParams(hidden, name="mlp_fc1")(C)
+            w2, b2 = _DenseParams(C, name="mlp_fc2")(hidden)
+            y = fused_mlp_branch(x.astype(self.dtype), ln2_s, ln2_b,
+                                 w1, b1, w2, b2)
+        else:
+            y = nn.LayerNorm(dtype=self.ln_dtype, name="norm2")(x)
+            y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
+                         name="mlp_fc1")(y)
+            y = nn.gelu(y)
+            y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
         return x + DropPath(name="drop_path2")(
             y, deterministic=not train, rate=dp_rate)
 
@@ -365,6 +382,7 @@ class SwinBlockPair(nn.Module):
     softmax_bf16: bool = False
     ln_bf16: bool = False
     fused_block: bool = False
+    fused_mlp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -374,14 +392,16 @@ class SwinBlockPair(nn.Module):
                       window_size=self.window_size, shift=0,
                       mlp_ratio=self.mlp_ratio,
                       softmax_bf16=self.softmax_bf16, ln_bf16=self.ln_bf16,
-                      fused_block=self.fused_block, dtype=self.dtype,
+                      fused_block=self.fused_block,
+                      fused_mlp=self.fused_mlp, dtype=self.dtype,
                       name="block0")(x, train, rates[0])
         x = SwinBlock(dim=self.dim, num_heads=self.num_heads,
                       window_size=self.window_size,
                       shift=self.window_size // 2,
                       mlp_ratio=self.mlp_ratio,
                       softmax_bf16=self.softmax_bf16, ln_bf16=self.ln_bf16,
-                      fused_block=self.fused_block, dtype=self.dtype,
+                      fused_block=self.fused_block,
+                      fused_mlp=self.fused_mlp, dtype=self.dtype,
                       name="block1")(x, train, rates[1])
         return x, None
 
@@ -433,6 +453,7 @@ class SwinEncoder(nn.Module):
     softmax_bf16: bool = False  # bf16 scores/softmax (see WindowAttention)
     ln_bf16: bool = False  # bf16 LayerNorm outputs (stats stay f32)
     fused_block: bool = False  # fused Pallas attention branch (SwinBlock)
+    fused_mlp: bool = False  # fused Pallas MLP branch (SwinBlock)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -496,6 +517,7 @@ class SwinEncoder(nn.Module):
                     softmax_bf16=self.softmax_bf16,
                     ln_bf16=self.ln_bf16,
                     fused_block=self.fused_block,
+                    fused_mlp=self.fused_mlp,
                     dtype=self.dtype,
                     name=f"stage{stage}_scan",
                 )(x, rates, train)
@@ -512,6 +534,7 @@ class SwinEncoder(nn.Module):
                         softmax_bf16=self.softmax_bf16,
                         ln_bf16=self.ln_bf16,
                         fused_block=self.fused_block,
+                        fused_mlp=self.fused_mlp,
                         dtype=self.dtype,
                         name=f"stage{stage}_block{b}",
                     )(x, train)  # positional: remat static_argnums=(2,)
@@ -563,9 +586,11 @@ def build_swin(name: str, config=None, dtype=jnp.float32) -> SwinEncoder:
         softmax_bf16 = bool(config.get("model.encoder.softmax_bf16", False))
         ln_bf16 = bool(config.get("model.encoder.ln_bf16", False))
         fused_block = bool(config.get("model.encoder.fused_block", False))
+        fused_mlp = bool(config.get("model.encoder.fused_mlp", False))
     scan_stages = None
     if config is None:
         fused_block = False
+        fused_mlp = False
     else:
         ss = config.get("model.encoder.scan_stages")
         scan_stages = tuple(int(s) for s in ss) if ss is not None else None
@@ -573,4 +598,5 @@ def build_swin(name: str, config=None, dtype=jnp.float32) -> SwinEncoder:
                        remat_policy=remat_policy, window_size=window,
                        remat_stages=remat_stages, softmax_bf16=softmax_bf16,
                        ln_bf16=ln_bf16, scan_stages=scan_stages,
-                       fused_block=fused_block, **kwargs)
+                       fused_block=fused_block, fused_mlp=fused_mlp,
+                       **kwargs)

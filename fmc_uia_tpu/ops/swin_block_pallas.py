@@ -318,3 +318,176 @@ def fused_attention_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         mask_rgnn = mask_gnn.reshape(nrows, G, N, N)
     return _fused_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                          bias_hnn, mask_rgnn, num_heads)
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP branch: LN2 -> fc1 -> gelu -> fc2 (pre-residual)
+# ---------------------------------------------------------------------------
+def _mlp_math(x_tile, ln_scale, ln_bias, w1, b1, w2, b2, *, compute_dtype):
+    """[T, C] tile -> [T, C]; LN stats f32, matmul accum f32."""
+    T, C = x_tile.shape
+    xf = x_tile.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xh = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    xn = (xh * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(compute_dtype)
+    h = jnp.dot(xn, w1.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b1.astype(jnp.float32)).astype(compute_dtype)
+    y = jnp.dot(h, w2.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    return (y + b2.astype(jnp.float32)).astype(compute_dtype)
+
+
+def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    out_ref, *, compute_dtype):
+    out_ref[:] = _mlp_math(x_ref[:], lns_ref[0], lnb_ref[0], w1_ref[:],
+                           b1_ref[0], w2_ref[:], b2_ref[0],
+                           compute_dtype=compute_dtype)
+
+
+def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    dy_ref, dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref,
+                    dw2_ref, db2_ref, *, compute_dtype):
+    def f(x_tile, lns, lnb, w1, b1, w2, b2):
+        return _mlp_math(x_tile, lns, lnb, w1, b1, w2, b2,
+                         compute_dtype=compute_dtype)
+
+    _, pull = jax.vjp(f, x_ref[:], lns_ref[0], lnb_ref[0], w1_ref[:],
+                      b1_ref[0], w2_ref[:], b2_ref[0])
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = pull(dy_ref[:])
+    dx_ref[:] = dx
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dlns_ref[0] = dlns.astype(jnp.float32)
+        dlnb_ref[0] = dlnb.astype(jnp.float32)
+        dw1_ref[:] = dw1.astype(jnp.float32)
+        db1_ref[0] = db1.astype(jnp.float32)
+        dw2_ref[:] = dw2.astype(jnp.float32)
+        db2_ref[0] = db2.astype(jnp.float32)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dlns_ref[0] += dlns.astype(jnp.float32)
+        dlnb_ref[0] += dlnb.astype(jnp.float32)
+        dw1_ref[:] += dw1.astype(jnp.float32)
+        db1_ref[0] += db1.astype(jnp.float32)
+        dw2_ref[:] += dw2.astype(jnp.float32)
+        db2_ref[0] += db2.astype(jnp.float32)
+
+
+def _mlp_tile(TT: int, C: int, Ch: int):
+    const = lambda i: (0, 0)  # noqa: E731
+    x_spec = pl.BlockSpec((TT, C), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, Ch), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Ch), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Ch, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+    ]
+    return x_spec, in_specs, const
+
+
+_MLP_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _pick_mlp_tile(T: int, C: int, Ch: int, *, bwd: bool) -> int:
+    """Largest power-of-two tile dividing T whose VMEM working set fits.
+
+    Per-tile bytes ≈ weights (f32 pair + bf16 casts = 12·C·Ch) + activations
+    (x/LN/y chain ≈ 12·C + hidden f32-accum+bf16 ≈ 6·Ch per row); the vjp
+    backward roughly 2.5×'s the activation set (primals + cotangents)."""
+    w_bytes = 12 * C * Ch
+    factor = 2.5 if bwd else 1.0
+    budget = int(_MLP_VMEM_LIMIT * 0.72)
+    for tt in (4096, 2048, 1024, 512, 256):
+        if T % tt:
+            continue
+        act = tt * (12 * C + 6 * Ch)
+        if w_bytes + act * factor <= budget:
+            return tt
+    return 256 if T % 256 == 0 else T
+
+
+@jax.custom_vjp
+def _fused_mlp(x2d, ln_scale, ln_bias, w1, b1, w2, b2):
+    return _fused_mlp_fwd_impl(x2d, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _fused_mlp_fwd_impl(x2d, ln_scale, ln_bias, w1, b1, w2, b2):
+    T, C = x2d.shape
+    Ch = w1.shape[1]
+    TT = _pick_mlp_tile(T, C, Ch, bwd=False)
+    x_spec, in_specs, _ = _mlp_tile(TT, C, Ch)
+    kern = functools.partial(_mlp_fwd_kernel, compute_dtype=x2d.dtype)
+    return pl.pallas_call(
+        kern, grid=(T // TT,), in_specs=in_specs, out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=_MLP_VMEM_LIMIT),
+    )(x2d, ln_scale[None], ln_bias[None], w1, b1[None], w2, b2[None])
+
+
+def _fused_mlp_fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2):
+    y = _fused_mlp_fwd_impl(x2d, ln_scale, ln_bias, w1, b1, w2, b2)
+    return y, (x2d, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _fused_mlp_bwd(res, dy):
+    x2d, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    T, C = x2d.shape
+    Ch = w1.shape[1]
+    TT = _pick_mlp_tile(T, C, Ch, bwd=True)
+    x_spec, in_specs, const = _mlp_tile(TT, C, Ch)
+    in_specs = in_specs + [x_spec]
+    out_specs = [
+        x_spec,
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, Ch), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Ch), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Ch, C), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((C, Ch), jnp.float32),
+        jax.ShapeDtypeStruct((1, Ch), jnp.float32),
+        jax.ShapeDtypeStruct((Ch, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+    ]
+    kern = functools.partial(_mlp_bwd_kernel, compute_dtype=x2d.dtype)
+    outs = pl.pallas_call(
+        kern, grid=(T // TT,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=_MLP_VMEM_LIMIT),
+    )(x2d, ln_scale[None], ln_bias[None], w1, b1[None], w2, b2[None], dy)
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = outs
+    return (dx, dlns[0].astype(ln_scale.dtype), dlnb[0].astype(ln_bias.dtype),
+            dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def fused_mlp_branch(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """LN2 + fc1 + gelu + fc2 on ``x`` [B, H, W, C] (pre-residual output).
+    Saves the HBM round-trips of the LN output and the 4C-wide fc1/gelu
+    intermediates (e.g. bf16[16,128,128,512] = 268 MB at swin_b stage 0)."""
+    B, H, W, C = x.shape
+    y = _fused_mlp(x.reshape(B * H * W, C), ln_scale, ln_bias, w1, b1,
+                   w2, b2)
+    return y.reshape(B, H, W, C)

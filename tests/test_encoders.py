@@ -202,7 +202,7 @@ def test_fused_block_matches_xla_path():
               window_size=8, drop_path_rate=0.0, scan_blocks=False,
               dtype=jnp.float32)
     enc_x = SwinEncoder(fused_block=False, **kw)
-    enc_f = SwinEncoder(fused_block=True, **kw)
+    enc_f = SwinEncoder(fused_block=True, fused_mlp=True, **kw)
 
     x = jnp.asarray(np.random.RandomState(7).rand(1, 64, 64, 3),
                     jnp.float32)
