@@ -118,9 +118,10 @@ def build_bench(encoder: str, image_size: int, batch: int):
     # 87.2 -> 104.3 img/s measured
     cfg.config["model"]["encoder"]["fused_block"] = (
         os.environ.get("BENCH_FUSED", "1") == "1")
-    # fused Pallas MLP branch (LN2+fc1+gelu+fc2 in VMEM)
+    # fused Pallas MLP branch (LN2+fc1+gelu+fc2 in VMEM, stages 0/1):
+    # 104.3 -> 106.3 img/s measured
     cfg.config["model"]["encoder"]["fused_mlp"] = (
-        os.environ.get("BENCH_FUSED_MLP", "0") == "1")
+        os.environ.get("BENCH_FUSED_MLP", "1") == "1")
     cfg.config["model"]["encoder"]["window_size"] = int(
         os.environ.get("BENCH_WINDOW", "8"))
     cfg._set_attributes()

@@ -245,6 +245,20 @@ def build_task_prompt(config, task_configs) -> Optional[TaskPrompt2D]:
 # --------------------------------------------------------------------------
 # MoE
 # --------------------------------------------------------------------------
+class _ConvKernel(nn.Module):
+    """Declare an nn.Conv-compatible bias-free kernel WITHOUT applying it —
+    the ragged-dispatch MoE path slices per-expert weights out of the same
+    grouped-kernel layouts the dense path's nn.Conv modules create, so the
+    param tree (and any checkpoint) is identical across dispatch modes."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
 class MoEConvBlock(nn.Module):
     """Mixture of conv experts with per-sample routing.
 
@@ -268,6 +282,16 @@ class MoEConvBlock(nn.Module):
     num_tasks: int = 0
     use_residual: bool = True
     dropout: float = 0.0
+    # Execution mode. 'dense' = all experts on all samples, combined by the
+    # gates (reference moe.py:129-132 semantics; right at 4-16 conv
+    # experts). 'ragged' = GShard-style capacity-based all_to_all token
+    # dispatch over ``ep_axis`` of ``ep_mesh`` (parallel/expert.py) — each
+    # device hosts E/D experts and computes only its routed samples; pays
+    # off at large E where dense compute is E-fold redundant.
+    dispatch_mode: str = "dense"
+    ep_mesh: Optional[object] = None  # jax.sharding.Mesh (hashable)
+    ep_axis: str = "model"
+    capacity_factor: float = 2.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -297,6 +321,7 @@ class MoEConvBlock(nn.Module):
         r = nn.relu(r)
         logits = nn.Dense(E, name="router_fc2")(r)  # [B, E]
         probs = jax.nn.softmax(logits, axis=1)
+        raw_probs = probs
 
         if self.top_k < E:
             topk_vals, topk_idx = jax.lax.top_k(probs, self.top_k)
@@ -312,23 +337,84 @@ class MoEConvBlock(nn.Module):
         load = jnp.mean(dispatch, axis=0)  # [E]
         aux_loss = E * jnp.sum(importance * load)
 
-        # Dense all-expert bottleneck, expert axis batched into channels:
-        #   in: [B,H,W,C] -> [B,H,W,E*hidden] (1x1) -> depth-sep 3x3 per
-        #   expert via feature_group_count=E -> [B,H,W,E*C] (1x1 grouped).
-        h = nn.Conv(E * hidden, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="expert_in")(x.astype(self.dtype))
-        h = nn.relu(h)
-        h = nn.Conv(E * hidden, (3, 3), use_bias=False, dtype=self.dtype,
-                    feature_group_count=E, name="expert_mid")(h)
-        h = nn.relu(h)
-        if self.dropout > 0:
-            h = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
-                           deterministic=not train)(h)
-        h = nn.Conv(E * C, (1, 1), use_bias=False, dtype=self.dtype,
-                    feature_group_count=E, name="expert_out")(h)
-        h = h.reshape(B, H, W, E, C)
-        out = jnp.einsum("bhwec,be->bhwc", h, probs.astype(h.dtype))
+        if self.dispatch_mode == "ragged":
+            out = self._ragged_experts(x, raw_probs, hidden, train)
+        else:
+            # Dense all-expert bottleneck, expert axis batched into channels:
+            #   in: [B,H,W,C] -> [B,H,W,E*hidden] (1x1) -> depth-sep 3x3 per
+            #   expert via feature_group_count=E -> [B,H,W,E*C] (1x1 grouped).
+            h = nn.Conv(E * hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expert_in")(x.astype(self.dtype))
+            h = nn.relu(h)
+            h = nn.Conv(E * hidden, (3, 3), use_bias=False, dtype=self.dtype,
+                        feature_group_count=E, name="expert_mid")(h)
+            h = nn.relu(h)
+            if self.dropout > 0:
+                h = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                               deterministic=not train)(h)
+            h = nn.Conv(E * C, (1, 1), use_bias=False, dtype=self.dtype,
+                        feature_group_count=E, name="expert_out")(h)
+            h = h.reshape(B, H, W, E, C)
+            out = jnp.einsum("bhwec,be->bhwc", h, probs.astype(h.dtype))
 
         if self.use_residual:
             out = out + x
         return out, aux_loss, {"importance": importance, "load": load}
+
+    def _ragged_experts(self, x: jax.Array, raw_probs: jax.Array,
+                        hidden: int, train: bool) -> jax.Array:
+        """GShard-style expert-parallel execution: per-sample all_to_all
+        dispatch to the device owning each expert (parallel/expert.py).
+
+        Declares the SAME grouped-kernel params as the dense path (see
+        _ConvKernel) and slices them per-expert, so dispatch mode is a pure
+        execution choice — checkpoints and numerics (at zero-drop capacity)
+        are identical to dense. Dropout is applied to the combined expert
+        output rather than inside each expert (rng threading through
+        shard_map is not worth it for a spatial-broadcast dropout).
+        """
+        from fmc_uia_tpu.parallel.expert import ragged_moe_apply
+
+        B, Hh, Ww, C = x.shape
+        E = self.num_experts
+        mesh = self.ep_mesh
+        if mesh is None or self.ep_axis not in mesh.axis_names:
+            raise ValueError(
+                "MoEConvBlock(dispatch_mode='ragged') needs ep_mesh with "
+                f"axis {self.ep_axis!r} (got mesh={mesh})")
+
+        w_in = _ConvKernel((1, 1, C, E * hidden), name="expert_in")()
+        w_mid = _ConvKernel((3, 3, hidden, E * hidden), name="expert_mid")()
+        w_out = _ConvKernel((1, 1, hidden, E * C), name="expert_out")()
+        # grouped-kernel layouts -> leading expert axis (group-major
+        # output channels: expert e owns out channels e*g:(e+1)*g)
+        params = {
+            "w_in": jnp.moveaxis(
+                w_in.reshape(1, 1, C, E, hidden), 3, 0),
+            "w_mid": jnp.moveaxis(
+                w_mid.reshape(3, 3, hidden, E, hidden), 3, 0),
+            "w_out": jnp.moveaxis(
+                w_out.reshape(1, 1, hidden, E, C), 3, 0),
+        }
+        params = jax.tree_util.tree_map(
+            lambda w: w.astype(self.dtype), params)
+        dn = ("NHWC", "HWIO", "NHWC")
+
+        def expert_fn(p, tokens):
+            h = jax.lax.conv_general_dilated(
+                tokens, p["w_in"], (1, 1), "VALID", dimension_numbers=dn)
+            h = nn.relu(h)
+            h = jax.lax.conv_general_dilated(
+                h, p["w_mid"], (1, 1), "SAME", dimension_numbers=dn)
+            h = nn.relu(h)
+            return jax.lax.conv_general_dilated(
+                h, p["w_out"], (1, 1), "VALID", dimension_numbers=dn)
+
+        out = ragged_moe_apply(
+            expert_fn, params, x.astype(self.dtype),
+            raw_probs.astype(jnp.float32), mesh, axis=self.ep_axis,
+            top_k=self.top_k, capacity_factor=self.capacity_factor)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                             deterministic=not train)(out)
+        return out

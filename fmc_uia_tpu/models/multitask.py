@@ -56,6 +56,7 @@ class MultiTaskModel(nn.Module):
     config: Any
     registry: TaskRegistry
     dtype: Any = jnp.float32
+    ep_mesh: Any = None  # jax.sharding.Mesh for ragged-EP MoE (optional)
 
     def setup(self):
         cfg = self.config
@@ -125,6 +126,11 @@ class MultiTaskModel(nn.Module):
                     num_tasks=len(self.registry),
                     use_residual=bool(moe_cfg.get("use_residual", True)),
                     dropout=float(moe_cfg.get("dropout", 0.0)),
+                    dispatch_mode=str(moe_cfg.get("dispatch", "dense")),
+                    ep_mesh=self.ep_mesh,
+                    ep_axis=str(moe_cfg.get("ep_axis", "model")),
+                    capacity_factor=float(
+                        moe_cfg.get("capacity_factor", 2.0)),
                     dtype=self.dtype,
                     name=f"moe_stage{i}",
                 )
@@ -241,14 +247,19 @@ def init_variables(model: "MultiTaskModel", key, image_size: int,
 
 
 def build_model(config, registry: Optional[TaskRegistry] = None,
-                dtype=None) -> MultiTaskModel:
+                dtype=None, mesh=None) -> MultiTaskModel:
     """Model factory (reference multitask_model.py:346-362).
 
     Encoder freezing (model.encoder.freeze_encoder) is honoured in the
     optimizer construction (train.build_optimizer), not here.
+
+    ``mesh`` is only needed for mesh-coupled execution modes (currently
+    ``model.moe.dispatch: ragged`` — GShard all_to_all expert parallelism);
+    the default dense modes are mesh-free and shard purely via pjit specs.
     """
     if registry is None:
         registry = TaskRegistry.from_config(config)
     if dtype is None:
         dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
-    return MultiTaskModel(config=config, registry=registry, dtype=dtype)
+    return MultiTaskModel(config=config, registry=registry, dtype=dtype,
+                          ep_mesh=mesh)

@@ -191,3 +191,47 @@ def test_default_capacity_guarantee():
     assert default_capacity(4, 8, 2, capacity_factor=4.0) == 4
     # factor E/K -> cap == bloc * K (zero-drop bound)
     assert default_capacity(4, 8, 2, capacity_factor=8 / 2) == 4
+
+
+def test_moe_conv_block_ragged_mode_matches_dense():
+    """MoEConvBlock(dispatch_mode='ragged') at zero-drop capacity must
+    reproduce the dense all-expert combine bit-for-tolerance, from the SAME
+    param tree (dispatch is a pure execution mode)."""
+    from fmc_uia_tpu.models.conditioning import MoEConvBlock
+
+    E, K, B, Sp, C = 8, 2, 8, 16, 32
+    mesh = make_mesh(jax.devices()[:4], axes=("model",))
+    kw = dict(num_experts=E, expert_hidden=16, router_hidden=16, top_k=K,
+              use_task_embedding=False, num_tasks=4, use_residual=True,
+              dropout=0.0, dtype=jnp.float32)
+    dense = MoEConvBlock(**kw)
+    ragged = MoEConvBlock(dispatch_mode="ragged", ep_mesh=mesh,
+                          ep_axis="model", capacity_factor=E / K, **kw)
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(B, Sp, Sp, C), jnp.float32)
+    params = dense.init(jax.random.PRNGKey(0), x)["params"]
+    # identical param trees across modes
+    p2 = ragged.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+
+    out_d, aux_d, st_d = dense.apply({"params": params}, x)
+    out_r, aux_r, st_r = ragged.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(aux_r), float(aux_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_r["importance"]),
+                               np.asarray(st_d["importance"]), rtol=1e-5)
+
+
+def test_moe_conv_block_ragged_requires_mesh():
+    from fmc_uia_tpu.models.conditioning import MoEConvBlock
+
+    blk = MoEConvBlock(num_experts=8, dispatch_mode="ragged")
+    x = jnp.zeros((8, 8, 8, 16), jnp.float32)
+    try:
+        blk.init(jax.random.PRNGKey(0), x)
+        raise AssertionError("expected ValueError for missing ep_mesh")
+    except ValueError as e:
+        assert "ep_mesh" in str(e)
