@@ -90,11 +90,12 @@ def build_bench(encoder: str, image_size: int, batch: int):
     cfg.config["data"]["batch_size"] = batch
     cfg.config["model"]["encoder"]["name"] = encoder
     cfg.config["device"]["mixed_precision"] = True
-    # remat the encoder blocks at high resolution: activations at 512^2
-    # dominate HBM; recompute-in-backward buys batch size.
+    # remat default OFF since the fused Pallas branches carry their own
+    # recompute-in-backward: 106.3 -> 117.2 img/s measured (remat on was
+    # the r1 answer to 512^2 activation HBM; the fused kernels already
+    # dropped that working set)
     cfg.config["model"]["encoder"]["remat"] = (
-        os.environ.get("BENCH_REMAT", "1" if image_size >= 384 else "0")
-        == "1")
+        os.environ.get("BENCH_REMAT", "0") == "1")
     cfg.config["model"]["encoder"]["remat_policy"] = os.environ.get(
         "BENCH_REMAT_POLICY", "full")
     stages_env = os.environ.get("BENCH_REMAT_STAGES")
@@ -276,7 +277,14 @@ def main():
                 poisoned = ("deleted" in msg or "donated" in msg
                             or is_transient(e))
                 if not poisoned or rebuild == 2:
-                    raise
+                    # persistent failure at this batch (e.g. the compile
+                    # helper 500s on a too-fat graph): fall through to the
+                    # next smaller batch rather than dying, unless this was
+                    # the last candidate
+                    if batch == candidates[-1]:
+                        raise
+                    log(f"batch {batch} failed persistently; trying next")
+                    break
                 log(f"rebuilding benchmark (attempt {rebuild + 2}/3) "
                     f"after transient failure")
                 time.sleep(20)

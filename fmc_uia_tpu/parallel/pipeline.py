@@ -117,6 +117,84 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x_microbatches,
     return fn(stacked_params, x_microbatches)
 
 
+def pipeline_swin_stage(encoder, params, stage: int, x, mesh: Mesh,
+                        microbatches: int, axis: str = "pipe"):
+    """Turnkey pipeline parallelism for one scanned Swin stage.
+
+    Splits the stage's ``n_pairs`` (window, shifted-window) block pairs
+    across the ``axis`` devices (e.g. swin_l's 18-block stage 2 = 9 pairs
+    over a 3-device pipe axis) and streams ``microbatches`` microbatches
+    through GPipe-style. The scanned stage's params are ALREADY stacked
+    ``[n_pairs, ...]`` (nn.scan variable_axes), so chunking them into
+    per-device slices is a reshape — no re-init, no checkpoint surgery.
+
+    Deterministic forward (drop-path off): the pipeline is for
+    activation-bound inference/fine-tuning of models whose stage exceeds
+    one chip; gradients flow through it via autodiff (ppermute/scan are
+    differentiable) but stochastic-depth rngs are not threaded.
+
+    Args:
+      encoder: the SwinEncoder module (hyperparameter source).
+      params: the encoder's param tree (must contain ``stage{N}_scan``).
+      stage: stage index (the stage must be scanned, depth even).
+      x: ``[B, H, W, C]`` stage input (post patch-merging).
+      mesh: mesh with pipeline axis ``axis`` of size S; n_pairs % S == 0.
+      microbatches: M; B % M == 0. Bubble fraction = (S-1)/(M+S-1).
+
+    Returns:
+      ``[B, H, W, C]`` stage output, numerically equal to the sequential
+      scan over all pairs.
+    """
+    from fmc_uia_tpu.models.encoders.swin import SwinBlockPair
+
+    key = f"stage{stage}_scan"
+    if key not in params:
+        raise ValueError(
+            f"{key} not in params — stage {stage} is not scanned "
+            f"(scan_stages={encoder.scan_stages}); pipeline wiring needs "
+            f"the stacked pair layout")
+    stage_params = params[key]
+    S = mesh.shape[axis]
+    n_pairs = jax.tree_util.tree_leaves(stage_params)[0].shape[0]
+    if n_pairs % S:
+        raise ValueError(f"n_pairs {n_pairs} must divide over pipe axis "
+                         f"size {S}")
+    B = x.shape[0]
+    if B % microbatches:
+        raise ValueError(f"batch {B} must divide into {microbatches} "
+                         f"microbatches")
+
+    pair = SwinBlockPair(
+        dim=encoder.embed_dim * (2 ** stage),
+        num_heads=encoder.num_heads[stage],
+        window_size=encoder.window_size,
+        mlp_ratio=encoder.mlp_ratio,
+        softmax_bf16=encoder.softmax_bf16,
+        ln_bf16=encoder.ln_bf16,
+        fused_block=encoder.fused_block,
+        fused_mlp=encoder.fused_mlp,
+        dtype=encoder.dtype,
+    )
+    zero_rates = jnp.zeros((2,), jnp.float32)
+
+    # [n_pairs, ...] -> [S, n_pairs/S, ...] per-device chunks
+    chunked = jax.tree_util.tree_map(
+        lambda l: l.reshape((S, n_pairs // S) + l.shape[1:]), stage_params)
+
+    def stage_fn(chunk, xx):
+        def body(carry, pair_params):
+            y, _ = pair.apply({"params": pair_params}, carry, zero_rates,
+                              False)
+            return y, None
+
+        y, _ = jax.lax.scan(body, xx, chunk)
+        return y
+
+    x_mb = x.reshape((microbatches, B // microbatches) + x.shape[1:])
+    out = pipeline_apply(stage_fn, chunked, x_mb, mesh, axis)
+    return out.reshape(x.shape)
+
+
 def pipeline_loss_fn(stage_fn: Callable, loss_fn: Callable, mesh: Mesh,
                      axis: str = "pipe"):
     """Convenience: ``(stacked_params, x_mb, y_mb) -> scalar`` mean loss

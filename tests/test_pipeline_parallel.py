@@ -101,3 +101,54 @@ def test_pipeline_under_jit(mesh, rng):
     ref = sequential(params_list, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_swin_stage_matches_sequential(rng):
+    """Turnkey wiring: a scanned Swin stage pipelined over a 2-device pipe
+    axis == sequentially applying its block pairs (swin_l-stage-2 shape in
+    miniature)."""
+    from fmc_uia_tpu.models.encoders.swin import SwinBlockPair, SwinEncoder
+    from fmc_uia_tpu.parallel.pipeline import pipeline_swin_stage
+
+    enc = SwinEncoder(embed_dim=16, depths=(2, 2, 4, 2),
+                      num_heads=(2, 2, 2, 2), window_size=4,
+                      drop_path_rate=0.0, scan_blocks=True,
+                      dtype=jnp.float32)
+    B, Sp = 4, 8  # stage-2 grid
+    dim = enc.embed_dim * 4
+    x = jnp.asarray(rng.randn(B, Sp, Sp, dim) * 0.5, jnp.float32)
+
+    # init the full encoder to get genuinely-scanned stage params
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), img)["params"]
+
+    mesh = make_mesh(jax.devices()[:2], axes=("pipe",))
+    out = pipeline_swin_stage(enc, params, 2, x, mesh, microbatches=4)
+
+    pair = SwinBlockPair(dim=dim, num_heads=enc.num_heads[2],
+                         window_size=enc.window_size,
+                         mlp_ratio=enc.mlp_ratio, dtype=jnp.float32)
+    seq = x
+    stage_params = params["stage2_scan"]
+    n_pairs = jax.tree_util.tree_leaves(stage_params)[0].shape[0]
+    for i in range(n_pairs):
+        p_i = jax.tree_util.tree_map(lambda l: l[i], stage_params)
+        seq, _ = pair.apply({"params": p_i}, seq,
+                            jnp.zeros((2,), jnp.float32), False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_swin_stage_rejects_unscanned(rng):
+    from fmc_uia_tpu.models.encoders.swin import SwinEncoder
+    from fmc_uia_tpu.parallel.pipeline import pipeline_swin_stage
+
+    enc = SwinEncoder(embed_dim=16, depths=(2, 2, 4, 2),
+                      num_heads=(2, 2, 2, 2), window_size=4,
+                      scan_blocks=False, dtype=jnp.float32)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), img)["params"]
+    mesh = make_mesh(jax.devices()[:2], axes=("pipe",))
+    x = jnp.zeros((4, 8, 8, 64), jnp.float32)
+    with pytest.raises(ValueError, match="not scanned"):
+        pipeline_swin_stage(enc, params, 2, x, mesh, microbatches=4)
