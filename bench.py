@@ -123,6 +123,11 @@ def build_bench(encoder: str, image_size: int, batch: int):
     # 104.3 -> 106.3 img/s measured
     cfg.config["model"]["encoder"]["fused_mlp"] = (
         os.environ.get("BENCH_FUSED_MLP", "1") == "1")
+    # which stages use the fused attention branch ("" = all)
+    fs_env = os.environ.get("BENCH_FUSED_STAGES", "")
+    if fs_env:
+        cfg.config["model"]["encoder"]["fused_stages"] = [
+            int(s) for s in fs_env.split(",")]
     cfg.config["model"]["encoder"]["window_size"] = int(
         os.environ.get("BENCH_WINDOW", "8"))
     cfg._set_attributes()
@@ -229,13 +234,25 @@ def run_benchmark(encoder, image_size, batch, steps):
     # compiled in-process, so a restart is cheap).
     sched = np.random.RandomState(42)
     order = [types[sched.randint(len(types))] for _ in range(steps)]
+    # a full 512^2 train step cannot be faster than this; an implied
+    # per-step under it means the async chain didn't actually block
+    # (observed once under axon) -> fall back to per-step forced sync
+    min_plausible_step_s = 0.005
     for attempt in range(3):
         try:
             t0 = time.time()
             for t in order:
-                trainer.train_batch(batches[t], epoch=0)
-            jax.block_until_ready(trainer.state.step)
+                logs = trainer.train_batch(batches[t], epoch=0)
+            jax.block_until_ready(logs["total_loss"])
             elapsed = time.time() - t0
+            if elapsed / steps < min_plausible_step_s:
+                log(f"implausible async timing ({elapsed:.2f}s for {steps} "
+                    f"steps); re-timing with per-step sync")
+                t0 = time.time()
+                for t in order:
+                    logs = trainer.train_batch(batches[t], epoch=0)
+                    jax.block_until_ready(logs["total_loss"])
+                elapsed = time.time() - t0
             break
         except Exception as e:
             if not is_transient(e) or attempt == 2:

@@ -454,6 +454,11 @@ class SwinEncoder(nn.Module):
     ln_bf16: bool = False  # bf16 LayerNorm outputs (stats stay f32)
     fused_block: bool = False  # fused Pallas attention branch (SwinBlock)
     fused_mlp: bool = False  # fused Pallas MLP branch (SwinBlock)
+    # which stages use the fused attention branch (None = all). The kernel
+    # wins decisively at stages 0/1 (large grids, small C); at stage 2/3
+    # the recompute-vjp backward roughly ties XLA (probe_fused_block.py
+    # PROBE_STAGES=stage2) — gate to measure/tune per model.
+    fused_stages: Optional[Sequence[int]] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -490,6 +495,9 @@ class SwinEncoder(nn.Module):
         features = []
         for stage, depth in enumerate(self.depths):
             block_cls, pair_cls = stage_classes(stage)
+            fused_this = self.fused_block and (
+                self.fused_stages is None
+                or stage in tuple(self.fused_stages))
             if stage > 0:
                 x = PatchMerging(dtype=self.dtype, ln_bf16=self.ln_bf16,
                                  name=f"merge{stage}")(x)
@@ -516,7 +524,7 @@ class SwinEncoder(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     softmax_bf16=self.softmax_bf16,
                     ln_bf16=self.ln_bf16,
-                    fused_block=self.fused_block,
+                    fused_block=fused_this,
                     fused_mlp=self.fused_mlp,
                     dtype=self.dtype,
                     name=f"stage{stage}_scan",
@@ -533,7 +541,7 @@ class SwinEncoder(nn.Module):
                         drop_path=float(dpr[block_id]),
                         softmax_bf16=self.softmax_bf16,
                         ln_bf16=self.ln_bf16,
-                        fused_block=self.fused_block,
+                        fused_block=fused_this,
                         fused_mlp=self.fused_mlp,
                         dtype=self.dtype,
                         name=f"stage{stage}_block{b}",
@@ -588,15 +596,18 @@ def build_swin(name: str, config=None, dtype=jnp.float32) -> SwinEncoder:
         fused_block = bool(config.get("model.encoder.fused_block", False))
         fused_mlp = bool(config.get("model.encoder.fused_mlp", False))
     scan_stages = None
+    fused_stages = None
     if config is None:
         fused_block = False
         fused_mlp = False
     else:
         ss = config.get("model.encoder.scan_stages")
         scan_stages = tuple(int(s) for s in ss) if ss is not None else None
+        fs = config.get("model.encoder.fused_stages")
+        fused_stages = tuple(int(s) for s in fs) if fs is not None else None
     return SwinEncoder(dtype=dtype, drop_path_rate=drop_path, remat=remat,
                        remat_policy=remat_policy, window_size=window,
                        remat_stages=remat_stages, softmax_bf16=softmax_bf16,
                        ln_bf16=ln_bf16, scan_stages=scan_stages,
                        fused_block=fused_block, fused_mlp=fused_mlp,
-                       **kwargs)
+                       fused_stages=fused_stages, **kwargs)

@@ -94,12 +94,19 @@ def timed(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+_STAGE_SHAPES = {  # swin_b @ 512^2, batch 16
+    "stage0": (16, 128, 128, 4),
+    "stage1": (16, 64, 256, 8),
+    "stage2": (16, 32, 512, 16),
+    "stage3": (16, 16, 1024, 32),
+}
+
+
 def main():
     print("backend:", jax.default_backend(), file=sys.stderr)
-    for name, (B, S, C, H) in {
-        "stage0": (16, 128, 128, 4),
-        "stage1": (16, 64, 256, 8),
-    }.items():
+    which = os.environ.get("PROBE_STAGES", "stage0,stage1").split(",")
+    for name in which:
+        B, S, C, H = _STAGE_SHAPES[name]
         for with_mask in (False, True):
             rng = np.random.RandomState(0)
             args = make_args(rng, B, S, C, H, 8, with_mask)
