@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LN_EPS = 1e-6
+_ATTN_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -59,16 +60,20 @@ def _interpret() -> bool:
 def _branch_math(x_tile, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                  bias_hnn, mask_gnn, *, num_heads: int, ws: int,
                  compute_dtype):
-    """The fused branch on one [ws, Wp, C] tile — pure jnp, used by both
-    the forward kernel and (via jax.vjp) the backward kernel."""
-    Ws, Wp, C = x_tile.shape
-    G = Wp // ws
+    """The fused branch on one [R*ws, Wp, C] tile (R window-rows per
+    program) — pure jnp, used by both the forward kernel and (via jax.vjp)
+    the backward kernel. Multi-row tiles batch the per-head attention
+    matmuls R×G wide, which matters at the small late-stage grids (stage 2:
+    one row = 4 windows of 64 tokens — too little work per MXU issue)."""
+    Rws, Wp, C = x_tile.shape
+    R = Rws // ws
+    G = (Wp // ws) * R  # windows per program
     N = ws * ws
     H = num_heads
     dh = C // H
 
-    # window partition (VMEM relayout)
-    xw = x_tile.reshape(ws, G, ws, C).transpose(1, 0, 2, 3)
+    # window partition (VMEM relayout): [R*ws, Wp, C] -> [G, N, C] tokens
+    xw = x_tile.reshape(R, ws, Wp // ws, ws, C).transpose(0, 2, 1, 3, 4)
     xf = xw.reshape(G * N, C).astype(jnp.float32)
 
     # LayerNorm in f32 (flax fast-variance formula, eps 1e-6)
@@ -111,14 +116,17 @@ def _branch_math(x_tile, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 preferred_element_type=jnp.float32)
     y = (y + bproj.astype(jnp.float32)).astype(compute_dtype)
     # window unpartition back to the tile layout
-    y = y.reshape(G, ws, ws, C).transpose(1, 0, 2, 3).reshape(ws, Wp, C)
-    return y
+    y = y.reshape(R, Wp // ws, ws, ws, C).transpose(0, 2, 1, 3, 4)
+    return y.reshape(Rws, Wp, C)
 
 
 def _fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 bproj_ref, bias_ref, mask_ref, out_ref, *, num_heads, ws,
                 compute_dtype, has_mask):
-    mask = mask_ref[0] if has_mask else None
+    mask = None
+    if has_mask:  # [R, Gcol, N, N] -> [G, N, N] in window order
+        m = mask_ref[:]
+        mask = m.reshape(-1, m.shape[-2], m.shape[-1])
     out_ref[0] = _branch_math(
         x_ref[0], lns_ref[0], lnb_ref[0], wqkv_ref[:], bqkv_ref[0],
         wproj_ref[:], bproj_ref[0], bias_ref[:], mask,
@@ -130,7 +138,10 @@ def _bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                 dwproj_ref, dbproj_ref, dbias_ref, *, num_heads, ws,
                 compute_dtype, has_mask):
-    mask = mask_ref[0] if has_mask else None
+    mask = None
+    if has_mask:
+        m = mask_ref[:]
+        mask = m.reshape(-1, m.shape[-2], m.shape[-1])
 
     def f(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias):
         return _branch_math(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj,
@@ -165,10 +176,30 @@ def _bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         dbias_ref[:] += dbias.astype(jnp.float32)
 
 
-def _specs(B, Hp, Wp, C, H, N, ws, has_mask, nrows, G):
-    """(grid, in_specs) shared by fwd and bwd."""
-    grid = (B, nrows)
-    x_spec = pl.BlockSpec((1, ws, Wp, C), lambda b, r: (b, r, 0, 0),
+def _pick_rows(nrows: int, ws: int, Wp: int) -> int:
+    """Window-rows per program (default 1 == one window-row).
+
+    Multi-row tiles were built and MEASURED AS A NET LOSS end-to-end
+    (PERF.md r2-13): standalone probes showed stage-1/2 kernel wins, but
+    the full train step regressed 117 -> ~91 img/s at R=2 and compile
+    times exploded near the VMEM ceiling at R=4. The machinery stays for
+    future shapes: set FMC_FUSED_ROW_TOKENS to a per-program token target
+    (e.g. 1024) to re-enable row batching."""
+    import os
+
+    target = int(os.environ.get("FMC_FUSED_ROW_TOKENS", "0"))
+    if target <= 0:
+        return 1
+    R = max(1, target // (ws * Wp))
+    while R > 1 and nrows % R:
+        R -= 1
+    return min(R, nrows)
+
+
+def _specs(B, Hp, Wp, C, H, N, ws, has_mask, nrows, G, R):
+    """(grid, in_specs) shared by fwd and bwd. R = window-rows/program."""
+    grid = (B, nrows // R)
+    x_spec = pl.BlockSpec((1, R * ws, Wp, C), lambda b, r: (b, r, 0, 0),
                           memory_space=pltpu.VMEM)
     const = lambda b, r: (0, 0)  # noqa: E731
     in_specs = [
@@ -183,7 +214,8 @@ def _specs(B, Hp, Wp, C, H, N, ws, has_mask, nrows, G):
                      memory_space=pltpu.VMEM),
     ]
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, G, N, N), lambda b, r: (r, 0, 0, 0),
+        in_specs.append(pl.BlockSpec((R, G, N, N),
+                                     lambda b, r: (r, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
     else:  # dummy scalar placeholder (never read)
         in_specs.append(pl.BlockSpec((1, 1), const,
@@ -207,8 +239,9 @@ def _fused_branch_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     nrows = Hp // ws
     G = Wp // ws
     has_mask = mask_rgnn is not None
+    R = _pick_rows(nrows, ws, Wp)
     grid, in_specs, x_spec = _specs(B, Hp, Wp, C, H, N, ws, has_mask,
-                                    nrows, G)
+                                    nrows, G, R)
     kern = functools.partial(_fwd_kernel, num_heads=H, ws=ws,
                              compute_dtype=x.dtype, has_mask=has_mask)
     mask_arg = (mask_rgnn if has_mask
@@ -217,6 +250,10 @@ def _fused_branch_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         kern, grid=grid, in_specs=in_specs, out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=_interpret(),
+        # multi-row tiles and the late stages' f32 weight pairs exceed the
+        # 16 MB scoped-vmem default (e.g. stage 3: wqkv f32+bf16 ≈ 19 MB)
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=_ATTN_VMEM_LIMIT),
     )(x, ln_scale[None], ln_bias[None], wqkv, bqkv[None], wproj,
       bproj[None], bias_hnn, mask_arg)
 
@@ -239,8 +276,9 @@ def _fused_branch_bwd(num_heads, res, dy):
     nrows = Hp // ws
     G = Wp // ws
     has_mask = mask_rgnn is not None
+    R = _pick_rows(nrows, ws, Wp)
     grid, in_specs, x_spec = _specs(B, Hp, Wp, C, H, N, ws, has_mask,
-                                    nrows, G)
+                                    nrows, G, R)
     in_specs = in_specs + [x_spec]  # dy blocked like x
     const = lambda b, r: (0, 0)  # noqa: E731
     out_specs = [
@@ -272,10 +310,10 @@ def _fused_branch_bwd(num_heads, res, dy):
         kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
-        # the recompute-vjp body needs slightly more scoped VMEM than the
-        # conservative 16 MB default at the stage-0 tile size (16.2 MB)
+        # the recompute-vjp body needs far more scoped VMEM than the
+        # 16 MB default (stage-2 R=4 tile: 65.3 MB measured); v5e has 128
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=_ATTN_VMEM_LIMIT),
     )(x, ln_scale[None], ln_bias[None], wqkv, bqkv[None], wproj,
       bproj[None], bias_hnn, mask_arg, dy)
     dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias = outs
