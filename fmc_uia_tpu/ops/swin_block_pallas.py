@@ -88,30 +88,37 @@ def _branch_math(x_tile, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     qkv = qkv + bqkv.astype(jnp.float32)
     qkv = qkv.astype(compute_dtype)
 
-    q = qkv[:, :C].reshape(G, N, C)
-    k = qkv[:, C:2 * C].reshape(G, N, C)
-    v = qkv[:, 2 * C:].reshape(G, N, C)
+    q = qkv[:, :C]
+    k = qkv[:, C:2 * C]
+    v = qkv[:, 2 * C:]
 
     scale = jnp.asarray(dh ** -0.5, compute_dtype)
-    heads = []
-    for h in range(H):
-        sl = slice(h * dh, (h + 1) * dh)
-        qh = q[:, :, sl] * scale
-        kh = k[:, :, sl]
-        vh = v[:, :, sl]
-        s = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [G, N, N]
-        s = s + bias_hnn[h].astype(jnp.float32)
-        if mask_gnn is not None:
-            s = s + mask_gnn.astype(jnp.float32)
-        p = jax.nn.softmax(s, axis=-1).astype(compute_dtype)
-        oh = jax.lax.dot_general(
-            p, vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [G, N, dh]
-        heads.append(oh.astype(compute_dtype))
+    # head-batched attention: ONE H*G-batched dot_general pair instead of
+    # an unrolled per-head loop of tiny matmuls (H serial MXU issues).
+    # Heads are gathered by lane-dim slicing (a lane SPLIT reshape is an
+    # unsupported Mosaic relayout) and stacked on a new leading batch dim;
+    # Mosaic's tpu.matmul takes a single batch dim, so H and G fold.
+    def head_stack(t):  # [G*N, C] -> [H*G, N, dh]
+        parts = [t[:, h * dh:(h + 1) * dh].reshape(G, N, dh)
+                 for h in range(H)]
+        return jnp.stack(parts).reshape(H * G, N, dh)
 
-    o = jnp.concatenate(heads, axis=-1).reshape(G * N, C)
+    qb = head_stack(q * scale)
+    kb = head_stack(k)
+    vb = head_stack(v)
+    s = jax.lax.dot_general(
+        qb, kb, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [H*G, N, N]
+    s = s.reshape(H, G, N, N) + bias_hnn[:, None].astype(jnp.float32)
+    if mask_gnn is not None:
+        s = s + mask_gnn[None].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(compute_dtype)
+    ob = jax.lax.dot_general(
+        p.reshape(H * G, N, N), vb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [H*G, N, dh]
+    ob = ob.astype(compute_dtype).reshape(H, G, N, dh)
+    o = jnp.concatenate([ob[h] for h in range(H)], axis=-1)
+    o = o.reshape(G * N, C)
     y = jnp.dot(o, wproj.astype(compute_dtype),
                 preferred_element_type=jnp.float32)
     y = (y + bproj.astype(jnp.float32)).astype(compute_dtype)
