@@ -259,6 +259,28 @@ class _ConvKernel(nn.Module):
                           self.shape, jnp.float32)
 
 
+def pick_dispatch_mode(num_experts: int, top_k: int, ep_mesh,
+                       ep_axis: str) -> str:
+    """Resolve ``model.moe.dispatch: auto`` to an execution mode.
+
+    Ragged dispatch pays one ``all_to_all`` each way plus gather/scatter
+    overhead but computes only routed tokens (~top_k/E of dense compute);
+    dense computes all E experts on every sample with zero collectives.
+    Dense wins while the E-fold redundant compute is cheaper than the
+    dispatch overhead — measured true through E≈16 conv experts
+    (SCALING.md). Ragged additionally requires the experts to actually be
+    distributed (an EP mesh with >1 device on the axis, E divisible by the
+    axis size)."""
+    if ep_mesh is None or ep_axis not in getattr(ep_mesh, "axis_names", ()):
+        return "dense"
+    axis_size = int(ep_mesh.shape[ep_axis])
+    if axis_size <= 1 or num_experts % axis_size:
+        return "dense"
+    if num_experts >= max(32, 8 * max(1, top_k)):
+        return "ragged"
+    return "dense"
+
+
 class MoEConvBlock(nn.Module):
     """Mixture of conv experts with per-sample routing.
 

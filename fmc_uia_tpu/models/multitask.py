@@ -126,7 +126,7 @@ class MultiTaskModel(nn.Module):
                     num_tasks=len(self.registry),
                     use_residual=bool(moe_cfg.get("use_residual", True)),
                     dropout=float(moe_cfg.get("dropout", 0.0)),
-                    dispatch_mode=str(moe_cfg.get("dispatch", "dense")),
+                    dispatch_mode=self._resolve_dispatch(moe_cfg),
                     ep_mesh=self.ep_mesh,
                     ep_axis=str(moe_cfg.get("ep_axis", "model")),
                     capacity_factor=float(
@@ -147,6 +147,20 @@ class MultiTaskModel(nn.Module):
         self.num_classes_np = self.registry.num_classes_table
 
     # -- helpers -----------------------------------------------------------
+    def _resolve_dispatch(self, moe_cfg) -> str:
+        """``model.moe.dispatch``: 'dense' | 'ragged' | 'auto' (pick from
+        expert count / EP-mesh shape at build time, conditioning.py
+        pick_dispatch_mode)."""
+        from fmc_uia_tpu.models.conditioning import pick_dispatch_mode
+
+        mode = str(moe_cfg.get("dispatch", "dense"))
+        if mode != "auto":
+            return mode
+        return pick_dispatch_mode(
+            int(moe_cfg.get("num_experts", 4)),
+            int(moe_cfg.get("top_k", 1)),
+            self.ep_mesh, str(moe_cfg.get("ep_axis", "model")))
+
     def _decoder_for(self, task_type: str):
         name = self.decoder_alias[task_type]
         return {

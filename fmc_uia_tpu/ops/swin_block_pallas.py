@@ -140,24 +140,145 @@ def _fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         num_heads=num_heads, ws=ws, compute_dtype=compute_dtype)
 
 
+def _branch_pullback(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias_hnn,
+                     mask_gnn, dy_tile, *, num_heads: int, ws: int,
+                     compute_dtype):
+    """Hand-written pullback of ``_branch_math`` on one tile.
+
+    ``jax.vjp`` of the forward produces pullback matmuls whose cotangent
+    operands stay f32 (half-or-worse MXU rate) and re-differentiates the
+    lane-sliced head gather as scatter-adds; this analytic version keeps
+    every matmul a bf16-operand / f32-accumulate head-batched dot_general —
+    the exact shape family the forward already proved fast — and rebuilds
+    the head gather/scatter as the same slice+concat the forward uses.
+    Recompute stays in-VMEM (LN/qkv/softmax re-run here, nothing saved to
+    HBM). Returns (dx_tile, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj,
+    dbias) with the weight/bias grads in f32.
+    """
+    Rws, Wp, C = x_tile.shape
+    R = Rws // ws
+    G = (Wp // ws) * R
+    N = ws * ws
+    H = num_heads
+    dh = C // H
+    f32 = jnp.float32
+
+    # --- recompute the forward (same casts as _branch_math) ---
+    xw = x_tile.reshape(R, ws, Wp // ws, ws, C).transpose(0, 2, 1, 3, 4)
+    xf = xw.reshape(G * N, C).astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    xh = (xf - mu) * rstd
+    xn = (xh * lns.astype(f32) + lnb.astype(f32)).astype(compute_dtype)
+    qkv = jnp.dot(xn, wqkv.astype(compute_dtype),
+                  preferred_element_type=f32)
+    qkv = (qkv + bqkv.astype(f32)).astype(compute_dtype)
+    q = qkv[:, :C]
+    k = qkv[:, C:2 * C]
+    v = qkv[:, 2 * C:]
+    scale = jnp.asarray(dh ** -0.5, compute_dtype)
+
+    def head_stack(t):  # [G*N, C] -> [H*G, N, dh]
+        parts = [t[:, h * dh:(h + 1) * dh].reshape(G, N, dh)
+                 for h in range(H)]
+        return jnp.stack(parts).reshape(H * G, N, dh)
+
+    def head_unstack(tb):  # [H*G, N, dh] -> [G*N, C]
+        t4 = tb.reshape(H, G, N, dh)
+        return jnp.concatenate(
+            [t4[h].reshape(G * N, dh) for h in range(H)], axis=-1)
+
+    qb = head_stack(q * scale)
+    kb = head_stack(k)
+    vb = head_stack(v)
+    s = jax.lax.dot_general(qb, kb, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=f32)
+    s = s.reshape(H, G, N, N) + bias_hnn[:, None].astype(f32)
+    if mask_gnn is not None:
+        s = s + mask_gnn[None].astype(f32)
+    pf = jax.nn.softmax(s, axis=-1)                     # f32 [H,G,N,N]
+    p = pf.astype(compute_dtype).reshape(H * G, N, N)
+    ob = jax.lax.dot_general(p, vb, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=f32)
+    obc = ob.astype(compute_dtype).reshape(H, G, N, dh)
+    o = jnp.concatenate([obc[h] for h in range(H)], axis=-1)
+    o = o.reshape(G * N, C)
+
+    # --- pullback ---
+    dyw = dy_tile.reshape(R, ws, Wp // ws, ws, C).transpose(0, 2, 1, 3, 4)
+    dyf = dyw.reshape(G * N, C).astype(compute_dtype)
+    dbproj = jnp.sum(dyf.astype(f32), axis=0)
+    dwproj = jax.lax.dot_general(o, dyf, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    do = jax.lax.dot_general(dyf, wproj.astype(compute_dtype),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dob = head_stack(do.astype(compute_dtype))          # [H*G, N, dh]
+    dvb = jax.lax.dot_general(p, dob, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=f32)
+    dpb = jax.lax.dot_general(dob, vb, (((2,), (2,)), ((0,), (0,))),
+                              preferred_element_type=f32)
+    dp = dpb.reshape(H, G, N, N)
+    ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))  # f32
+    dbias = jnp.sum(ds, axis=1)                          # [H, N, N]
+    dsb = ds.reshape(H * G, N, N).astype(compute_dtype)
+    dqb = jax.lax.dot_general(dsb, kb, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=f32)
+    dkb = jax.lax.dot_general(dsb, qb, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=f32)
+    dq = head_unstack(dqb.astype(compute_dtype)) * scale
+    dk = head_unstack(dkb.astype(compute_dtype))
+    dv = head_unstack(dvb.astype(compute_dtype))
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)        # [G*N, 3C]
+    dbqkv = jnp.sum(dqkv.astype(f32), axis=0)
+    dwqkv = jax.lax.dot_general(xn, dqkv, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+    dxn = jax.lax.dot_general(dqkv, wqkv.astype(compute_dtype),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dg = jnp.sum(dxn * xh, axis=0)
+    dbeta = jnp.sum(dxn, axis=0)
+    dxh = dxn * lns.astype(f32)
+    dxf = (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+           - xh * jnp.mean(dxh * xh, axis=-1, keepdims=True)) * rstd
+    dxw = dxf.astype(x_tile.dtype).reshape(R, Wp // ws, ws, ws, C)
+    dx_tile = dxw.transpose(0, 2, 1, 3, 4).reshape(Rws, Wp, C)
+    return dx_tile, dg, dbeta, dwqkv, dbqkv, dwproj, dbproj, dbias
+
+
+def _bwd_mode() -> str:
+    import os
+
+    return os.environ.get("FMC_FUSED_BWD", "analytic")
+
+
 def _bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 bproj_ref, bias_ref, mask_ref, dy_ref,
                 dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                 dwproj_ref, dbproj_ref, dbias_ref, *, num_heads, ws,
-                compute_dtype, has_mask):
+                compute_dtype, has_mask, mode):
     mask = None
     if has_mask:
         m = mask_ref[:]
         mask = m.reshape(-1, m.shape[-2], m.shape[-1])
 
-    def f(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias):
-        return _branch_math(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj,
-                            bias, mask, num_heads=num_heads, ws=ws,
-                            compute_dtype=compute_dtype)
+    if mode == "analytic":
+        (dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj,
+         dbias) = _branch_pullback(
+            x_ref[0], lns_ref[0], lnb_ref[0], wqkv_ref[:], bqkv_ref[0],
+            wproj_ref[:], bproj_ref[0], bias_ref[:], mask, dy_ref[0],
+            num_heads=num_heads, ws=ws, compute_dtype=compute_dtype)
+    else:
+        def f(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias):
+            return _branch_math(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                bias, mask, num_heads=num_heads, ws=ws,
+                                compute_dtype=compute_dtype)
 
-    _, pull = jax.vjp(f, x_ref[0], lns_ref[0], lnb_ref[0], wqkv_ref[:],
-                      bqkv_ref[0], wproj_ref[:], bproj_ref[0], bias_ref[:])
-    dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias = pull(dy_ref[0])
+        _, pull = jax.vjp(f, x_ref[0], lns_ref[0], lnb_ref[0], wqkv_ref[:],
+                          bqkv_ref[0], wproj_ref[:], bproj_ref[0],
+                          bias_ref[:])
+        dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias = pull(dy_ref[0])
 
     dx_ref[0] = dx
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -310,7 +431,8 @@ def _fused_branch_bwd(num_heads, res, dy):
         jax.ShapeDtypeStruct((H, N, N), jnp.float32),
     ]
     kern = functools.partial(_bwd_kernel, num_heads=H, ws=ws,
-                             compute_dtype=x.dtype, has_mask=has_mask)
+                             compute_dtype=x.dtype, has_mask=has_mask,
+                             mode=_bwd_mode())
     mask_arg = (mask_rgnn if has_mask
                 else jnp.zeros((1, 1), jnp.float32))
     outs = pl.pallas_call(

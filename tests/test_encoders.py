@@ -231,3 +231,55 @@ def test_fused_block_matches_xla_path():
         scale = max(np.abs(a).max(), 1e-3)
         assert np.max(np.abs(a - b)) / scale < 5e-3, (
             jax.tree_util.keystr(pa), np.max(np.abs(a - b)), scale)
+
+
+def test_fused_bwd_analytic_matches_vjp():
+    """The hand-written analytic pullback of the fused attention branch
+    (FMC_FUSED_BWD=analytic, the default) matches the recompute-jax.vjp
+    kernel on every gradient, with and without a shift mask (f32,
+    interpret mode)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fmc_uia_tpu.ops.swin_block_pallas import fused_attention_branch
+
+    rng = np.random.RandomState(3)
+    B, Hp, Wp, C, H, ws = 2, 16, 16, 16, 2, 4
+    N = ws * ws
+    nW = (Hp // ws) * (Wp // ws)
+    x = jnp.asarray(rng.randn(B, Hp, Wp, C), jnp.float32)
+    lns = jnp.asarray(rng.randn(C), jnp.float32)
+    lnb = jnp.asarray(rng.randn(C), jnp.float32)
+    wqkv = jnp.asarray(rng.randn(C, 3 * C) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.randn(3 * C) * 0.1, jnp.float32)
+    wproj = jnp.asarray(rng.randn(C, C) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(H, N, N) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.rand(nW, N, N) > 0.8, -100.0, 0.0), jnp.float32)
+
+    for m in (None, mask):
+        def loss(*a):
+            y = fused_attention_branch(*a, m, num_heads=H)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        args = (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias)
+        prev = os.environ.get("FMC_FUSED_BWD")
+        try:
+            os.environ["FMC_FUSED_BWD"] = "vjp"
+            g_vjp = jax.grad(loss, argnums=tuple(range(8)))(*args)
+            os.environ["FMC_FUSED_BWD"] = "analytic"
+            g_an = jax.grad(loss, argnums=tuple(range(8)))(*args)
+        finally:
+            if prev is None:
+                os.environ.pop("FMC_FUSED_BWD", None)
+            else:
+                os.environ["FMC_FUSED_BWD"] = prev
+        for i, (a, b) in enumerate(zip(g_vjp, g_an)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(a).max(), 1e-6)
+            assert np.max(np.abs(a - b)) / scale < 1e-4, (i, m is not None)

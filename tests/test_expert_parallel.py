@@ -235,3 +235,43 @@ def test_moe_conv_block_ragged_requires_mesh():
         raise AssertionError("expected ValueError for missing ep_mesh")
     except ValueError as e:
         assert "ep_mesh" in str(e)
+
+
+def test_pick_dispatch_mode_auto():
+    """`model.moe.dispatch: auto` resolves from (E, top_k, EP mesh shape):
+    dense without a multi-device EP axis or at small E; ragged at large,
+    evenly-divisible expert counts."""
+    from fmc_uia_tpu.models.conditioning import pick_dispatch_mode
+
+    mesh = make_mesh(axes=("data", "model"), shape=(2, 4))
+    assert pick_dispatch_mode(64, 2, None, "model") == "dense"
+    assert pick_dispatch_mode(64, 2, mesh, "absent") == "dense"
+    assert pick_dispatch_mode(8, 2, mesh, "model") == "dense"
+    assert pick_dispatch_mode(64, 2, mesh, "model") == "ragged"
+    assert pick_dispatch_mode(66, 2, mesh, "model") == "dense"  # 66 % 4
+    assert pick_dispatch_mode(64, 16, mesh, "model") == "dense"  # topk-heavy
+    # a 1-device axis never goes ragged
+    one = make_mesh(jax.devices()[:1], axes=("model",))
+    assert pick_dispatch_mode(64, 2, one, "model") == "dense"
+
+
+def test_moe_dispatch_auto_through_build_model():
+    cfg_dict = copy.deepcopy(TINY_CONFIG)
+    cfg_dict["model"]["moe"] = {
+        "enabled": True, "num_experts": 32, "top_k": 2,
+        "stage_indices": [3], "expert_hidden": 8, "router_hidden": 8,
+        "use_task_embedding": False, "use_residual": True, "dropout": 0.0,
+        "balance_loss_weight": 0.05, "dispatch": "auto",
+        "capacity_factor": 16.0,
+    }
+    cfg = Config(config_dict=cfg_dict)
+    reg = TaskRegistry.from_config(cfg)
+    mesh = make_mesh(axes=("data", "model"), shape=(2, 4))
+    moe_cfg = cfg.get("model.moe")
+    model = build_model(cfg, reg, mesh=mesh)
+    assert model._resolve_dispatch(moe_cfg) == "ragged"
+    model_nomesh = build_model(cfg, reg)
+    assert model_nomesh._resolve_dispatch(moe_cfg) == "dense"
+    # and the resolved mode builds + runs end-to-end
+    variables = init_variables(model, jax.random.PRNGKey(0), 32, 8)
+    assert variables["params"]
