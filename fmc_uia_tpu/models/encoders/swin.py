@@ -21,6 +21,7 @@ Variants (reference encoders.py:14-20 name map):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -344,9 +345,11 @@ class SwinBlock(nn.Module):
 
         # fused MLP only pays where the branch is activation-bound: at
         # C<=256 (stages 0/1) the kernel beats XLA fwd+bwd by 30-43%; at
-        # C=512 it ties and at C=1024 the f32 weight pair alone (32 MB)
-        # crowds VMEM (scripts/probe_fused_mlp.py, PERF.md).
-        if self.fused_mlp and C <= 256:
+        # C=512 it ties standalone and at C=1024 the f32 weight pair alone
+        # (32 MB) crowds VMEM (scripts/probe_fused_mlp.py, PERF.md).
+        # FMC_FUSED_MLP_MAX_C widens the gate for end-to-end A/B.
+        max_c = int(os.environ.get("FMC_FUSED_MLP_MAX_C", "256"))
+        if self.fused_mlp and C <= max_c:
             from fmc_uia_tpu.ops.swin_block_pallas import fused_mlp_branch
 
             hidden = int(C * self.mlp_ratio)

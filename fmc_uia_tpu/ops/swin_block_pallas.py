@@ -514,16 +514,62 @@ def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                            compute_dtype=compute_dtype)
 
 
+def _mlp_pullback(x_tile, lns, lnb, w1, b1, w2, b2, dy_tile, *,
+                  compute_dtype):
+    """Hand-written pullback of ``_mlp_math``: every matmul a bf16-operand
+    / f32-accumulate dot_general (the jax.vjp pullback kept f32 cotangent
+    operands — half-rate MXU; see _branch_pullback). The gelu derivative
+    is taken with an elementwise jax.vjp (exact, VPU-cheap)."""
+    f32 = jnp.float32
+    xf = x_tile.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    xh = (xf - mu) * rstd
+    xn = (xh * lns.astype(f32) + lnb.astype(f32)).astype(compute_dtype)
+    h1 = jnp.dot(xn, w1.astype(compute_dtype),
+                 preferred_element_type=f32) + b1.astype(f32)
+    g, gelu_vjp = jax.vjp(jax.nn.gelu, h1)
+    gc = g.astype(compute_dtype)
+
+    dyc = dy_tile.astype(compute_dtype)
+    db2 = jnp.sum(dyc.astype(f32), axis=0)
+    dw2 = jax.lax.dot_general(gc, dyc, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    dg = jax.lax.dot_general(dyc, w2.astype(compute_dtype),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dh1, = gelu_vjp(dg)
+    db1 = jnp.sum(dh1, axis=0)
+    dh1c = dh1.astype(compute_dtype)
+    dw1 = jax.lax.dot_general(xn, dh1c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    dxn = jax.lax.dot_general(dh1c, w1.astype(compute_dtype),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dg_ln = jnp.sum(dxn * xh, axis=0)
+    dbeta = jnp.sum(dxn, axis=0)
+    dxh = dxn * lns.astype(f32)
+    dxf = (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+           - xh * jnp.mean(dxh * xh, axis=-1, keepdims=True)) * rstd
+    return (dxf.astype(x_tile.dtype), dg_ln, dbeta, dw1, db1, dw2, db2)
+
+
 def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     dy_ref, dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref,
-                    dw2_ref, db2_ref, *, compute_dtype):
-    def f(x_tile, lns, lnb, w1, b1, w2, b2):
-        return _mlp_math(x_tile, lns, lnb, w1, b1, w2, b2,
-                         compute_dtype=compute_dtype)
+                    dw2_ref, db2_ref, *, compute_dtype, mode):
+    if mode == "analytic":
+        dx, dlns, dlnb, dw1, db1, dw2, db2 = _mlp_pullback(
+            x_ref[:], lns_ref[0], lnb_ref[0], w1_ref[:], b1_ref[0],
+            w2_ref[:], b2_ref[0], dy_ref[:], compute_dtype=compute_dtype)
+    else:
+        def f(x_tile, lns, lnb, w1, b1, w2, b2):
+            return _mlp_math(x_tile, lns, lnb, w1, b1, w2, b2,
+                             compute_dtype=compute_dtype)
 
-    _, pull = jax.vjp(f, x_ref[:], lns_ref[0], lnb_ref[0], w1_ref[:],
-                      b1_ref[0], w2_ref[:], b2_ref[0])
-    dx, dlns, dlnb, dw1, db1, dw2, db2 = pull(dy_ref[:])
+        _, pull = jax.vjp(f, x_ref[:], lns_ref[0], lnb_ref[0], w1_ref[:],
+                          b1_ref[0], w2_ref[:], b2_ref[0])
+        dx, dlns, dlnb, dw1, db1, dw2, db2 = pull(dy_ref[:])
     dx_ref[:] = dx
     first = pl.program_id(0) == 0
 
@@ -633,7 +679,8 @@ def _fused_mlp_bwd(res, dy):
         jax.ShapeDtypeStruct((Ch, C), jnp.float32),
         jax.ShapeDtypeStruct((1, C), jnp.float32),
     ]
-    kern = functools.partial(_mlp_bwd_kernel, compute_dtype=x2d.dtype)
+    kern = functools.partial(_mlp_bwd_kernel, compute_dtype=x2d.dtype,
+                             mode=_bwd_mode())
     outs = pl.pallas_call(
         kern, grid=(T // TT,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes,

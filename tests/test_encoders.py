@@ -283,3 +283,46 @@ def test_fused_bwd_analytic_matches_vjp():
             b = np.asarray(b, np.float32)
             scale = max(np.abs(a).max(), 1e-6)
             assert np.max(np.abs(a - b)) / scale < 1e-4, (i, m is not None)
+
+
+def test_fused_mlp_bwd_analytic_matches_vjp():
+    """The analytic MLP pullback (FMC_FUSED_BWD=analytic, default) matches
+    the recompute-jax.vjp kernel on every gradient (f32, interpret mode)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fmc_uia_tpu.ops.swin_block_pallas import _fused_mlp
+
+    rng = np.random.RandomState(0)
+    T, C = 512, 16
+    Ch = 4 * C
+    x = jnp.asarray(rng.randn(T, C), jnp.float32)
+    lns = jnp.asarray(rng.randn(C), jnp.float32)
+    lnb = jnp.asarray(rng.randn(C), jnp.float32)
+    w1 = jnp.asarray(rng.randn(C, Ch) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.randn(Ch) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(Ch, C) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+
+    def loss(*a):
+        return jnp.sum(_fused_mlp(*a).astype(jnp.float32) ** 2)
+
+    args = (x, lns, lnb, w1, b1, w2, b2)
+    prev = os.environ.get("FMC_FUSED_BWD")
+    try:
+        os.environ["FMC_FUSED_BWD"] = "vjp"
+        g_vjp = jax.grad(loss, argnums=tuple(range(7)))(*args)
+        os.environ["FMC_FUSED_BWD"] = "analytic"
+        g_an = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    finally:
+        if prev is None:
+            os.environ.pop("FMC_FUSED_BWD", None)
+        else:
+            os.environ["FMC_FUSED_BWD"] = prev
+    for i, (a, b) in enumerate(zip(g_vjp, g_an)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.max(np.abs(a - b)) / max(np.abs(a).max(), 1e-6) < 1e-5, i
