@@ -283,9 +283,11 @@ def main():
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     batch_env = os.environ.get("BENCH_BATCH")
-    # default chain: 16 first at 512^2 (32 is close to the 16G HBM edge and
-    # a failed attempt costs a full many-minute compile)
-    default_chain = [16, 8, 4] if image_size >= 384 else [32, 16, 8, 4]
+    # default chain: 24 first at 512^2 (141.0 vs 138.6 img/s at 16; 32 is
+    # close to the 16G HBM edge / compile-helper limit and a failed
+    # attempt costs a full many-minute compile)
+    default_chain = ([24, 16, 8, 4] if image_size >= 384
+                     else [32, 16, 8, 4])
     candidates = ([int(batch_env)] if batch_env else default_chain)
 
     ips = None

@@ -596,8 +596,13 @@ def build_swin(name: str, config=None, dtype=jnp.float32) -> SwinEncoder:
         remat_stages = tuple(int(s) for s in rs) if rs is not None else None
         softmax_bf16 = bool(config.get("model.encoder.softmax_bf16", False))
         ln_bf16 = bool(config.get("model.encoder.ln_bf16", False))
-        fused_block = bool(config.get("model.encoder.fused_block", False))
-        fused_mlp = bool(config.get("model.encoder.fused_mlp", False))
+        # fused Pallas kernels default ON on real TPUs (1.3x end-to-end,
+        # and numerically MORE conservative than the XLA chain: f32
+        # softmax in VMEM). On CPU they'd run in slow interpret mode, so
+        # the default follows the backend; config keys override either way.
+        on_tpu = jax.default_backend() == "tpu"
+        fused_block = bool(config.get("model.encoder.fused_block", on_tpu))
+        fused_mlp = bool(config.get("model.encoder.fused_mlp", on_tpu))
     scan_stages = None
     fused_stages = None
     if config is None:
