@@ -210,8 +210,25 @@ def build_data_engines(config, registry: Optional[TaskRegistry] = None
     if registry is None:
         registry = TaskRegistry(task_configs)
 
+    # console format mirrors reference train.py:108-112
+    print("Using dataset-derived task configurations for model/task-prompt "
+          "(config tasks are overwritten at runtime).")
+    print(f"Detected {len(task_configs)} tasks:")
+    for tc in task_configs:
+        print(f"  - {tc['task_id']}: {tc['task_name']}, "
+              f"num_classes={tc['num_classes']}")
+
     train_idx, val_idx = split_train_val(
         dataset.dataframe, config.val_split, config.seed)
+
+    # split report mirrors reference train.py:134-137
+    n = len(dataset.dataframe)
+    print(f"\n✓ Dataset split (seed={config.seed}):")
+    print(f"  - Total samples: {n}")
+    print(f"  - Train samples: {len(train_idx)} "
+          f"({100 * (len(train_idx) / n):.1f}%)")
+    print(f"  - Val samples: {len(val_idx)} "
+          f"({100 * (len(val_idx) / n):.1f}%)")
 
     sampler = MultiTaskUniformSampler(
         task_ids_per_index=[

@@ -193,9 +193,19 @@ def fit(config_path: Optional[str] = None, config=None,
     profiler = ProfileTrace(config, str(ckpt_dir / "profile"))
     timer = StepTimer()
 
+    # console banner format mirrors reference train.py:526-529, :555-557
+    print(f"\n{'=' * 80}")
+    print("Multi-Task Ultrasound Image Analysis Training")
+    print(f"Experiment: {config.exp_name}")
+    print(f"{'=' * 80}\n")
+    print(f"\n{'=' * 80}")
+    print("Starting Training...")
+    print(f"{'=' * 80}\n")
+
     for epoch in range(start_epoch, config.num_epochs):
         t0 = time.time()
         print(f"\nEpoch [{epoch + 1}/{config.num_epochs}]")
+        print("-" * 80)
         epoch_losses, epoch_weights, moe_stats = _train_epoch(
             trainer, train_engine, epoch, print_freq,
             profiler=profiler, timer=timer)
@@ -205,8 +215,21 @@ def fit(config_path: Optional[str] = None, config=None,
                   f"throughput={timing.get('images_per_sec', 0):.1f} img/s")
         timer.reset()
 
+        # epoch summary format mirrors reference train.py:589-601
+        print(f"\nEpoch {epoch + 1} Train Loss Summary:")
         for tid in sorted(epoch_losses):
             print(f"  {tid:<30}: {np.mean(epoch_losses[tid]):.4f}")
+        adaptive = trainer.state.params.get("adaptive")
+        if adaptive:
+            from fmc_uia_tpu import losses as losses_lib
+
+            weights = losses_lib.adaptive_weights(adaptive)
+            sigmas = losses_lib.adaptive_sigmas(adaptive)
+            print("\nAdaptive Loss Weights and Uncertainties:")
+            for task_name in sorted(weights):
+                print(f"  {task_name:<20}: "
+                      f"weight={float(weights[task_name]):.4f}, "
+                      f"sigma={float(sigmas[task_name]):.4f}")
 
         # validation.freq: validate every N epochs (a config key the
         # reference declares but never reads, config.yaml:220)
@@ -215,12 +238,16 @@ def fit(config_path: Optional[str] = None, config=None,
                    and ((epoch + 1) % val_freq == 0
                         or epoch + 1 == config.num_epochs))
         if run_val:
+            print("\nRunning validation...")
             val_df = evaluate(model, trainer.model_params, val_engine,
                               registry, mean, std, prep=eval_prep)
             avg_val_score = average_validation_score(val_df)
+            # validation report format mirrors reference train.py:640-643
+            print(f"\n--- Epoch {epoch + 1} Validation Report ---")
             if not val_df.empty:
                 print(val_df.to_string(index=False))
-            print(f"--- Average Validation Score: {avg_val_score:.4f} ---")
+            print(f"--- Average Validation Score (Higher is better): "
+                  f"{avg_val_score:.4f} ---")
         else:
             import pandas as pd
 

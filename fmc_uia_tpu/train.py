@@ -128,6 +128,13 @@ def build_optimizer(config, params) -> optax.GradientTransformation:
     freeze_backbone = bool(config.get("model.encoder.freeze_dino", False))
     labels = label_params(params, freeze_encoder=freeze,
                           freeze_backbone=freeze_backbone)
+    # console confirmations mirror reference train.py:191-217
+    if use_grouped:
+        print(f"✓ Using grouped LR: encoder={base_lr * enc_mult:.2e}, "
+              f"heads={base_lr * head_mult:.2e}")
+    if "adaptive" in params:
+        print(f"✓ Added adaptive loss parameters (lr={adaptive_lr:.2e})")
+    print(f"✓ Optimizer: {opt_type}")
     return optax.multi_transform(
         {
             "encoder": group(enc_mult),
@@ -169,6 +176,8 @@ class LRScheduler:
             self.kind = None
         else:
             raise ValueError(f"Unknown scheduler type: {self.kind}")
+        if self.kind:  # mirrors reference train.py:251
+            print(f"✓ Scheduler: {self.kind}")
 
     def current_scale(self) -> float:
         return self.scale
