@@ -1,0 +1,114 @@
+"""Serving throughput benchmark: sustained images/sec through the
+StreamingPredictor micro-batcher.
+
+bench_latency.py measures the raw batch-1 jitted forward; this harness
+measures the full serving path (per-task queues -> dispatcher -> padded
+micro-batches -> jitted predict -> decode -> futures) under concurrent
+client load across all 4 task types, the way a deployment would run it.
+Reports sustained img/s and end-to-end (submit -> result) p50/p99 latency
+per batch size.
+
+Usage: python bench_serving.py
+Env: SRV_ENCODER, SRV_IMAGE_SIZE, SRV_BATCHES (comma list, default "1,8,16,32"),
+     SRV_REQUESTS (per batch-size trial, default 256).
+Prints one JSON line: {"metric": ..., "value": best_img_s, "unit": ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    from fmc_uia_tpu.config import load_config
+    from fmc_uia_tpu.models import build_model
+    from fmc_uia_tpu.models.multitask import init_variables
+    from fmc_uia_tpu.serving import StreamingPredictor
+    from fmc_uia_tpu.tasks import TaskRegistry
+
+    encoder = os.environ.get("SRV_ENCODER", "swin_b")
+    image_size = int(os.environ.get("SRV_IMAGE_SIZE", "512"))
+    batch_sizes = [int(b) for b in os.environ.get(
+        "SRV_BATCHES", "1,8,16,32").split(",")]
+    n_requests = int(os.environ.get("SRV_REQUESTS", "256"))
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "configs",
+                                   "config.yaml"))
+    cfg.config["data"]["image_size"] = image_size
+    cfg.config["model"]["encoder"]["name"] = encoder
+    cfg.config["device"]["mixed_precision"] = True
+    cfg._set_attributes()
+
+    registry = TaskRegistry.from_config(cfg)
+    model = build_model(cfg, registry)
+    variables = init_variables(model, jax.random.PRNGKey(0), image_size, 1)
+    params = variables["params"]
+    mean = cfg.get("data.augmentation.normalize.mean")
+    std = cfg.get("data.augmentation.normalize.std")
+
+    # one task per type: the dispatcher round-robins real mixed traffic
+    task_ids = ["T2A_fetal_abdomen", "T1_fetal_planes", "T4A_fetal_brain",
+                "T5_fetal_femur"]
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (image_size, image_size, 3)).astype(np.uint8)
+
+    results = {}
+    best = (0.0, None)
+    for mb in batch_sizes:
+        svc = StreamingPredictor(model, params, registry, mean, std,
+                                 image_size, max_batch=mb, max_delay_ms=5.0)
+        # warm every task-type program (compile outside the timed window)
+        for tid in task_ids:
+            svc.submit(image, tid).result()
+        t0 = time.perf_counter()
+        submit_ts, futs = [], []
+        for i in range(n_requests):
+            tid = task_ids[i % len(task_ids)]
+            submit_ts.append(time.perf_counter())
+            futs.append(svc.submit(image, tid))
+        lat = []  # end-to-end submit -> result, ms
+        for ts, f in zip(submit_ts, futs):
+            f.result()
+            lat.append((time.perf_counter() - ts) * 1e3)
+        dt = time.perf_counter() - t0
+        svc.close()
+        ips = n_requests / dt
+        entry = {
+            "img_s": round(ips, 2),
+            "p50_ms": round(float(np.percentile(lat, 50)), 2),
+            "p99_ms": round(float(np.percentile(lat, 99)), 2),
+        }
+        results[f"batch_{mb}"] = entry
+        log(f"max_batch={mb:3d}: {ips:7.1f} img/s  "
+            f"e2e p50 {entry['p50_ms']:.1f} ms  p99 {entry['p99_ms']:.1f} ms")
+        if ips > best[0]:
+            best = (ips, mb)
+
+    print(json.dumps({
+        "metric": f"{encoder} {image_size}^2 serving throughput "
+                  f"(StreamingPredictor, mixed 4-type traffic)",
+        "value": round(best[0], 2),
+        "unit": "images/sec",
+        "best_max_batch": best[1],
+        "per_batch": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
