@@ -7,10 +7,13 @@ The transformer itself is built from scratch (the reference delegates to
 timm); intermediate block outputs at ``out_indices`` become the 4 pyramid
 sources exactly like timm's ``features_only`` mode.
 
-TPU notes: global attention over <= (512/16)^2 = 1024 tokens runs as plain
-batched MXU matmuls (flash-style tiling is unnecessary at this length);
-bf16 compute, f32 LayerNorm. The frozen-DINO option is realized as an
-optimizer zero-update label on the ``backbone`` subtree (see
+TPU notes: global attention below 1024 tokens runs as plain batched MXU
+matmuls; at >= 1024 tokens (512^2/patch16, any patch-8 preset) the 'auto'
+mode switches to the tiled online-softmax flash kernel
+(ops/vit_attention.py) so [B,H,N,N] scores never touch HBM — the 512^2
+patch-8 DINOv3 preset is un-trainable without it (~12.9 GB of scores per
+block). bf16 compute, f32 LayerNorm. The frozen-DINO option is realized
+as an optimizer zero-update label on the ``backbone`` subtree (see
 train.label_params), not a requires_grad flip.
 """
 
@@ -34,6 +37,10 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    # 'auto': flash (tiled online-softmax Pallas) attention on TPU once the
+    # sequence is long enough that materialized scores dominate HBM
+    # (N >= 1024, i.e. 512^2/patch16 or any patch-8 input); einsum below.
+    flash_attention: str = "auto"  # 'auto' | 'on' | 'off'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -45,14 +52,30 @@ class ViTBlock(nn.Module):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(
             y.astype(self.dtype))
-        qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (dh**-0.5), k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                       preferred_element_type=jnp.float32)
-        o = o.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, N, C)
+        # feature-split instead of a [B,N,3,H,dh] transpose (the 5D copy
+        # materializes with ~2.6x tile padding on TPU — same lesson as the
+        # Swin encoder's r1 qkv layout, PERF.md)
+        q = qkv[..., :C].reshape(B, N, H, dh)
+        k = qkv[..., C:2 * C].reshape(B, N, H, dh)
+        v = qkv[..., 2 * C:].reshape(B, N, H, dh)
+        scale = dh ** -0.5
+
+        mode = self.flash_attention
+        use_flash = (mode == "on") or (mode == "auto" and N >= 1024)
+        if use_flash:
+            from fmc_uia_tpu.ops.vit_attention import global_attention
+
+            o = global_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), sm_scale=scale)
+            o = o.transpose(0, 2, 1, 3).reshape(B, N, C)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            o = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                           preferred_element_type=jnp.float32)
+            o = o.astype(self.dtype).reshape(B, N, C)
         x = x + nn.Dense(C, dtype=self.dtype, name="proj")(o)
 
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
@@ -79,6 +102,7 @@ class ViTBackbone(nn.Module):
     out_indices: Sequence[int] = (2, 5, 8, 11)
     mlp_ratio: float = 4.0
     num_prefix_tokens: int = 0
+    flash_attention: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -110,8 +134,9 @@ class ViTBackbone(nn.Module):
         want = set(self.out_indices)
         for i in range(self.depth):
             x = ViTBlock(dim=self.embed_dim, num_heads=self.num_heads,
-                         mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-                         name=f"block{i}")(x)
+                         mlp_ratio=self.mlp_ratio,
+                         flash_attention=self.flash_attention,
+                         dtype=self.dtype, name=f"block{i}")(x)
             if i in want:
                 outs.append(x[:, P:, :].reshape(B, gh, gw, self.embed_dim))
         if not outs:
@@ -136,6 +161,7 @@ class ViTMultiScaleEncoder(nn.Module):
     interaction_offset_range: float = 0.25
     vit_layer_mapping: Optional[Sequence[int]] = None
     num_prefix_tokens: int = 0
+    flash_attention: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -148,7 +174,8 @@ class ViTMultiScaleEncoder(nn.Module):
             embed_dim=self.embed_dim, depth=self.depth,
             num_heads=self.num_heads, patch_size=self.patch_size,
             out_indices=tuple(self.out_indices),
-            num_prefix_tokens=self.num_prefix_tokens, dtype=self.dtype,
+            num_prefix_tokens=self.num_prefix_tokens,
+            flash_attention=self.flash_attention, dtype=self.dtype,
             name="backbone",
         )(x, train=train)
         raw = raw[:4]
@@ -252,8 +279,18 @@ def build_vit_encoder(name: str, config, dtype=jnp.float32
         default_prefix = 5 if is_dino else 1
     num_prefix = int(enc_cfg.get("num_prefix_tokens", default_prefix))
 
+    flash = str(enc_cfg.get("flash_attention", "auto")).lower()
+    if flash in ("true", "1"):
+        flash = "on"
+    elif flash in ("false", "0"):
+        flash = "off"
+    if flash not in ("auto", "on", "off"):
+        raise ValueError(
+            f"model.encoder.flash_attention must be auto/on/off, got {flash!r}")
+
     return ViTMultiScaleEncoder(
         patch_size=patch_size,
+        flash_attention=flash,
         adapter_type=adapter_type,
         adapter_channels=adapter_channels,
         num_prefix_tokens=num_prefix,

@@ -14,6 +14,13 @@ challenge output contract. Design:
     512^2).
   * `max_delay_ms` bounds added latency: a partial batch is flushed when
     the oldest request exceeds the deadline.
+  * `autoscale=True` pads a partial batch only up to the next size in a
+    power-of-two chain (1, 2, 4, ..., max_batch) instead of all the way to
+    `max_batch` — under light load a lone request runs as batch 1 instead
+    of dragging `max_batch-1` pad images through the model. Each chain
+    size is one extra XLA program per task type, compiled lazily on first
+    use (or ahead of time via `warmup()`); the persistent compile cache
+    makes warm restarts cheap.
 
 Usage:
     svc = StreamingPredictor(model, params, registry, mean, std,
@@ -28,6 +35,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import Counter
 from concurrent.futures import Future
 from typing import Dict, Optional
 
@@ -42,13 +50,26 @@ class StreamingPredictor:
 
     def __init__(self, model, params, registry: TaskRegistry, mean, std,
                  image_size: int, max_batch: int = 16,
-                 max_delay_ms: float = 5.0):
+                 max_delay_ms: float = 5.0, autoscale: bool = True):
         self.predictor = Predictor(model, params, registry, mean, std,
                                    image_size)
         self.registry = registry
         self.image_size = int(image_size)
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
+        self.autoscale = bool(autoscale)
+        # padded-batch size chain: powers of two up to max_batch (always
+        # including max_batch itself, e.g. 24 -> [1, 2, 4, 8, 16, 24])
+        chain = []
+        s = 1
+        while s < self.max_batch:
+            chain.append(s)
+            s *= 2
+        chain.append(self.max_batch)
+        self._chain = chain
+        # observability: dispatch counts by padded size, and pad waste
+        self.stats = {"dispatches": 0, "pad_images": 0,
+                      "by_size": Counter()}
         self._queues: Dict[str, "queue.Queue"] = {
             tid: queue.Queue() for tid in registry.task_ids}
         self._wake = threading.Event()
@@ -75,6 +96,21 @@ class StreamingPredictor:
         self._queues[task_id].put((image_u8, fut, time.monotonic()))
         self._wake.set()
         return fut
+
+    def warmup(self, task_ids=None, sizes=None) -> None:
+        """Precompile the predict programs outside the serving path.
+
+        One program per (task type, padded batch size); by default every
+        chain size for one representative task of each type.
+        """
+        by_type = {}
+        for tid in (task_ids or self.registry.task_ids):
+            by_type.setdefault(self.registry[tid].task_name, tid)
+        dummy = np.zeros((1, self.image_size, self.image_size, 3), np.uint8)
+        for size in (sizes or self._chain):
+            batch = np.repeat(dummy, size, axis=0)
+            for tid in by_type.values():
+                self.predictor.predict_images(batch, tid)
 
     def close(self) -> None:
         self._closed = True
@@ -131,10 +167,16 @@ class StreamingPredictor:
                 continue
             n_real = len(items)
             images = np.stack([it[0] for it in items])
-            if n_real < self.max_batch:  # pad: fixed shapes, no recompiles
-                pad = np.repeat(images[-1:], self.max_batch - n_real,
-                                axis=0)
+            if self.autoscale:
+                target = next(s for s in self._chain if s >= n_real)
+            else:
+                target = self.max_batch
+            if n_real < target:  # pad to a chain size: bounded compile set
+                pad = np.repeat(images[-1:], target - n_real, axis=0)
                 images = np.concatenate([images, pad])
+            self.stats["dispatches"] += 1
+            self.stats["pad_images"] += target - n_real
+            self.stats["by_size"][target] += 1
             try:
                 preds = self.predictor.predict_images(images, tid)[:n_real]
                 for (_, fut, _), pred in zip(items, preds):

@@ -3,10 +3,20 @@
 Same method as probe_kernel_xplane.py (device time from xplane, stripped
 variants), applied to the analytic pullback:
 
-  full     shipping _branch_pullback
-  noexp    softmax recompute replaced by a linear map (cuts max/exp/sum/div)
-  nodj     softmax jacobian ds = pf*(dp - rowsum(dp*pf)) replaced by ds = dp
-  nogradw  weight-grad matmuls (dwqkv/dwproj) skipped (zeros written)
+  full      shipping _branch_pullback
+  noexp     softmax recompute replaced by a linear map (cuts max/exp/sum/div)
+  nodj      softmax jacobian ds = pf*(dp - rowsum(dp*pf)) replaced by ds = dp
+  nogradw   weight-grad matmuls (dwqkv/dwproj) skipped (zeros written)
+  nogather  head_stack/head_unstack lane-slice relayouts replaced with
+            reshape-only approximations (wrong numerics, same matmul shapes)
+  noln      LN recompute + LN input-grad pullback skipped (xf used as xn)
+  noattnmm  the 4 pullback attention matmuls skipped (dob reused)
+  hb        head-batched-weights formulation (CORRECT numerics for dx/dw):
+            qkv/dxn/dwqkv as H-batched matmuls against [H, C, 3dh] weights,
+            so q/k/v/dq/dk/dv never lane-slice activations; only the proj
+            side keeps one stack + one concat. Weight reshape happens
+            in-kernel here (real impl would pass it pre-reshaped), so the
+            measured time is an UPPER bound.
 
 Run on TPU:  python scripts/probe_bwd_xplane.py
 Env: PROBE_STAGES (default stage0,stage1), PROBE_ITERS (default 30),
@@ -46,31 +56,69 @@ def pullback_variant(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias_hnn,
 
     xw = x_tile.reshape(R, ws, Wp // ws, ws, C).transpose(0, 2, 1, 3, 4)
     xf = xw.reshape(G * N, C).astype(f32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    rstd = jax.lax.rsqrt(var + _LN_EPS)
-    xh = (xf - mu) * rstd
-    xn = (xh * lns.astype(f32) + lnb.astype(f32)).astype(cdt)
-    qkv = jnp.dot(xn, wqkv.astype(cdt), preferred_element_type=f32)
-    qkv = (qkv + bqkv.astype(f32)).astype(cdt)
-    q = qkv[:, :C]
-    k = qkv[:, C:2 * C]
-    v = qkv[:, 2 * C:]
+    if variant == "noln":
+        rstd = jnp.ones((G * N, 1), f32)
+        xh = xf
+        xn = xf.astype(cdt)
+    else:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+        rstd = jax.lax.rsqrt(var + _LN_EPS)
+        xh = (xf - mu) * rstd
+        xn = (xh * lns.astype(f32) + lnb.astype(f32)).astype(cdt)
+    T = G * N
     scale = jnp.asarray(dh ** -0.5, cdt)
+    if variant == "hb":
+        # [H, C, 3dh] weight layout (in-kernel rebuild = upper bound;
+        # the real formulation passes it pre-reshaped)
+        w_h = jnp.stack([
+            jnp.concatenate([wqkv[:, j * C + h * dh:j * C + (h + 1) * dh]
+                             for j in range(3)], axis=-1)
+            for h in range(H)]).astype(cdt)            # [H, C, 3dh]
+        # bias omitted in the probe (timing-only; the add is negligible)
+        xn_b = jnp.broadcast_to(xn[None], (H, T, C))
+        qkv_b = jax.lax.dot_general(
+            xn_b, w_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32).astype(cdt)    # [H, T, 3dh]
+        qb = (qkv_b[..., :dh] * scale).reshape(H * G, N, dh)
+        kb = qkv_b[..., dh:2 * dh].reshape(H * G, N, dh)
+        vb = qkv_b[..., 2 * dh:].reshape(H * G, N, dh)
+    else:
+        qkv = jnp.dot(xn, wqkv.astype(cdt), preferred_element_type=f32)
+        qkv = (qkv + bqkv.astype(f32)).astype(cdt)
+        q = qkv[:, :C]
+        k = qkv[:, C:2 * C]
+        v = qkv[:, 2 * C:]
 
-    def head_stack(t):
-        parts = [t[:, h * dh:(h + 1) * dh].reshape(G, N, dh)
-                 for h in range(H)]
-        return jnp.stack(parts).reshape(H * G, N, dh)
+    if variant == "nogather":
+        # reshape/broadcast stand-ins: wrong numerics, identical matmul
+        # shapes, NO lane-offset slice/concat relayouts
+        def head_stack(t):
+            t0 = t[:, :dh].reshape(1, G, N, dh)
+            return jnp.broadcast_to(t0, (H, G, N, dh)).reshape(
+                H * G, N, dh)
 
-    def head_unstack(tb):
-        t4 = tb.reshape(H, G, N, dh)
-        return jnp.concatenate(
-            [t4[h].reshape(G * N, dh) for h in range(H)], axis=-1)
+        ones_uc = jnp.ones((dh, C), cdt)
 
-    qb = head_stack(q * scale)
-    kb = head_stack(k)
-    vb = head_stack(v)
+        def head_unstack(tb):
+            t0 = tb.reshape(H, G, N, dh)[0].reshape(G * N, dh)
+            return jnp.dot(t0, ones_uc,
+                           preferred_element_type=f32).astype(cdt)
+    else:
+        def head_stack(t):
+            parts = [t[:, h * dh:(h + 1) * dh].reshape(G, N, dh)
+                     for h in range(H)]
+            return jnp.stack(parts).reshape(H * G, N, dh)
+
+        def head_unstack(tb):
+            t4 = tb.reshape(H, G, N, dh)
+            return jnp.concatenate(
+                [t4[h].reshape(G * N, dh) for h in range(H)], axis=-1)
+
+    if variant != "hb":
+        qb = head_stack(q * scale)
+        kb = head_stack(k)
+        vb = head_stack(v)
     s = jax.lax.dot_general(qb, kb, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=f32)
     s = s.reshape(H, G, N, N) + bias_hnn[:, None].astype(f32)
@@ -97,39 +145,65 @@ def pullback_variant(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias_hnn,
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=f32)
     dob = head_stack(do.astype(cdt))
-    dvb = jax.lax.dot_general(p, dob, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=f32)
-    dpb = jax.lax.dot_general(dob, vb, (((2,), (2,)), ((0,), (0,))),
-                              preferred_element_type=f32)
-    dp = dpb.reshape(H, G, N, N)
+    if variant == "noattnmm":
+        dvb = dob.astype(f32)
+        dp = s
+    else:
+        dvb = jax.lax.dot_general(p, dob, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        dpb = jax.lax.dot_general(dob, vb, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        dp = dpb.reshape(H, G, N, N)
     if variant == "nodj":
         ds = dp
     else:
         ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
     dbias = jnp.sum(ds, axis=1)
     dsb = ds.reshape(H * G, N, N).astype(cdt)
-    dqb = jax.lax.dot_general(dsb, kb, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=f32)
-    dkb = jax.lax.dot_general(dsb, qb, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=f32)
-    dq = head_unstack(dqb.astype(cdt)) * scale
-    dk = head_unstack(dkb.astype(cdt))
-    dv = head_unstack(dvb.astype(cdt))
-    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
-    dbqkv = jnp.sum(dqkv.astype(f32), axis=0)
-    if variant == "nogradw":
-        dwqkv = jnp.zeros((C, 3 * C), f32)
+    if variant == "noattnmm":
+        dqb = kb.astype(f32) + dsb[:, :, :1]
+        dkb = qb.astype(f32) + dsb[:, :, :1]
     else:
-        dwqkv = jax.lax.dot_general(xn, dqkv, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=f32)
-    dxn = jax.lax.dot_general(dqkv, wqkv.astype(cdt),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)
+        dqb = jax.lax.dot_general(dsb, kb, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        dkb = jax.lax.dot_general(dsb, qb, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+    if variant == "hb":
+        dq_b = (dqb.astype(cdt) * scale).reshape(H, T, dh)
+        dk_b = dkb.astype(cdt).reshape(H, T, dh)
+        dv_b = dvb.astype(cdt).reshape(H, T, dh)
+        dqkv_b = jnp.concatenate([dq_b, dk_b, dv_b], axis=-1)  # [H,T,3dh]
+        # probe-only shape shim for the [1, 3C] out_spec (tiny)
+        dbqkv = jnp.full((3 * C,), jnp.sum(dqkv_b.astype(f32)), f32)
+        dwqkv = jax.lax.dot_general(
+            xn_b, dqkv_b, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)                 # [H, C, 3dh]
+        dxn_b = jax.lax.dot_general(
+            dqkv_b, w_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32)                 # [H, T, C]
+        dxn = jnp.sum(dxn_b, axis=0)
+    else:
+        dq = head_unstack(dqb.astype(cdt)) * scale
+        dk = head_unstack(dkb.astype(cdt))
+        dv = head_unstack(dvb.astype(cdt))
+        dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+        dbqkv = jnp.sum(dqkv.astype(f32), axis=0)
+        if variant == "nogradw":
+            dwqkv = jnp.zeros((C, 3 * C), f32)
+        else:
+            dwqkv = jax.lax.dot_general(xn, dqkv, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=f32)
+        dxn = jax.lax.dot_general(dqkv, wqkv.astype(cdt),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
     dg = jnp.sum(dxn * xh, axis=0)
     dbeta = jnp.sum(dxn, axis=0)
-    dxh = dxn * lns.astype(f32)
-    dxf = (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
-           - xh * jnp.mean(dxh * xh, axis=-1, keepdims=True)) * rstd
+    if variant == "noln":
+        dxf = dxn
+    else:
+        dxh = dxn * lns.astype(f32)
+        dxf = (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+               - xh * jnp.mean(dxh * xh, axis=-1, keepdims=True)) * rstd
     dxw = dxf.astype(x_tile.dtype).reshape(R, Wp // ws, ws, ws, C)
     dx_tile = dxw.transpose(0, 2, 1, 3, 4).reshape(Rws, Wp, C)
     return dx_tile, dg, dbeta, dwqkv, dbqkv, dwproj, dbproj, dbias
@@ -169,6 +243,7 @@ def kern(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 def build(x, H, ws, variant):
     B, Hp, Wp, C = x.shape
     N = ws * ws
+    dh = C // H
     nrows = Hp // ws
     x_spec = pl.BlockSpec((1, ws, Wp, C), lambda b, r: (b, r, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -184,7 +259,7 @@ def build(x, H, ws, variant):
                      memory_space=pltpu.VMEM),
     ]
     in_specs = [x_spec] + w_specs + [x_spec]
-    out_specs = [x_spec] + w_specs
+    out_specs = [x_spec] + list(w_specs)
     out_shapes = [
         jax.ShapeDtypeStruct(x.shape, x.dtype),
         jax.ShapeDtypeStruct((1, C), jnp.float32),
@@ -195,6 +270,10 @@ def build(x, H, ws, variant):
         jax.ShapeDtypeStruct((1, C), jnp.float32),
         jax.ShapeDtypeStruct((H, N, N), jnp.float32),
     ]
+    if variant == "hb":  # dwqkv stays in head-batched layout
+        out_specs[3] = pl.BlockSpec((H, C, 3 * dh), lambda b, r: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        out_shapes[3] = jax.ShapeDtypeStruct((H, C, 3 * dh), jnp.float32)
     f = functools.partial(kern, num_heads=H, ws=ws, variant=variant)
     call = pl.pallas_call(
         f, grid=(B, nrows), in_specs=in_specs, out_specs=out_specs,

@@ -27,8 +27,11 @@ import jax  # noqa: E402
 
 # The axon PJRT plugin (sitecustomize) force-registers the TPU backend and
 # overrides JAX_PLATFORMS; pin the config explicitly so tests run on the
-# virtual 8-device CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+# virtual 8-device CPU mesh. FMC_TEST_TPU=1 opts in to the real TPU
+# backend instead, un-skipping the Pallas-kernel tests
+# (test_preprocess_pallas, test_vit_flash's grad test, ...).
+if os.environ.get("FMC_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -67,3 +67,45 @@ def test_validation_errors(service):
         service.submit(np.zeros((S, S, 3), np.uint8), "nope")
     with pytest.raises(ValueError):
         service.submit(np.zeros((S + 1, S, 3), np.uint8), "T1_planes")
+
+
+def test_autoscale_lone_request_runs_small_batch(service):
+    """With autoscale on (default), a lone request must dispatch at a
+    chain size below max_batch (1), not padded to max_batch=4."""
+    before = dict(service.stats["by_size"])
+    fut = service.submit(np.zeros((S, S, 3), np.uint8), "T2A_organ_a")
+    fut.result(timeout=120)
+    after = service.stats["by_size"]
+    assert after[1] > before.get(1, 0)
+    assert service._chain == [1, 2, 4]
+
+
+def test_autoscale_off_pads_to_max_batch():
+    from fmc_uia_tpu.serving import StreamingPredictor
+    import copy
+    from fmc_uia_tpu.config import Config
+    from fmc_uia_tpu.models import build_model
+    from fmc_uia_tpu.models.multitask import init_variables
+    from fmc_uia_tpu.tasks import TaskRegistry
+    from tests.helpers import TINY_CONFIG
+
+    cfg = Config(config_dict=copy.deepcopy(TINY_CONFIG))
+    reg = TaskRegistry.from_config(cfg)
+    model = build_model(cfg, reg)
+    variables = init_variables(model, jax.random.PRNGKey(0), S, 2)
+    svc = StreamingPredictor(
+        model, variables["params"], reg, mean=[0.33] * 3, std=[0.18] * 3,
+        image_size=S, max_batch=4, max_delay_ms=2.0, autoscale=False)
+    try:
+        svc.submit(np.zeros((S, S, 3), np.uint8), "T1_planes").result(
+            timeout=120)
+        assert svc.stats["by_size"] == {4: 1}
+        assert svc.stats["pad_images"] == 3
+    finally:
+        svc.close()
+
+
+def test_warmup_precompiles_chain(service):
+    service.warmup(task_ids=["T1_planes"], sizes=[1, 2])
+    # no exception and no queued work afterwards
+    assert all(q.empty() for q in service._queues.values())
