@@ -26,23 +26,12 @@ import numpy as np
 
 # Persistent executable cache: swin_b@512^2 programs take many minutes to
 # compile through the remote-compile tunnel; cache across bench runs.
-# MUST go through jax.config (not env vars): the axon platform auto-imports
-# jax at interpreter startup, so env vars set here are read too late —
-# that, plus the under-reported compile times (threshold 0 below), was why
-# no big program ever landed in the cache (r1-r2 cache mystery).
+# Constraints (why config-update, threshold 0) live in utils/jax_cache.py.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+from fmc_uia_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
 
-def _enable_persistent_cache():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
-
-_enable_persistent_cache()
+enable_persistent_cache()
 
 REFERENCE_A100_IPS_ESTIMATE = 75.0
 

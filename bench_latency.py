@@ -17,8 +17,9 @@ import time
 
 import numpy as np
 
+# env vars alone are read too late under the axon plugin (it imports jax
+# at interpreter startup) — enable_persistent_cache goes through jax.config
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def log(msg):
@@ -28,6 +29,10 @@ def log(msg):
 def main():
     import jax
     import jax.numpy as jnp
+
+    from fmc_uia_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from fmc_uia_tpu.config import load_config
     from fmc_uia_tpu.metrics import make_eval_steps

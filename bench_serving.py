@@ -29,12 +29,11 @@ def log(msg):
 
 
 def main():
-    import jax
+    import jax  # noqa: F401
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from fmc_uia_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from fmc_uia_tpu.config import load_config
     from fmc_uia_tpu.models import build_model

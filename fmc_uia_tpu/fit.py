@@ -39,11 +39,19 @@ from fmc_uia_tpu.utils.logger import (
 
 def _train_epoch(trainer: Trainer, train_engine, epoch: int,
                  print_freq: int, profiler=None, timer=None) -> Dict:
-    """One epoch; returns (per-task losses, adaptive weights, moe stats)."""
+    """One epoch; returns (per-task losses, adaptive weights, moe stats).
+
+    The loop body does NO per-step device reads: ``float(logs[...])`` /
+    ``int(state.step)`` each cost a blocking device->host round-trip that
+    serializes the async dispatch pipeline (measured +67 ms/step through
+    the remote-dispatch tunnel, PERF.md r2-26). Device log scalars are
+    accumulated as-is and materialized in bulk at print points / epoch end.
+    """
     epoch_losses = defaultdict(list)
     epoch_weights = defaultdict(list)
     moe_task_stats: Dict = {}
     moe_group_stats: Dict = {}
+    pending = []  # (task_id, task_type, device logs)
 
     def upd_moe(stats_dict, key, task_name, importance, load, aux):
         entry = stats_dict.setdefault(key, {
@@ -59,34 +67,47 @@ def _train_epoch(trainer: Trainer, train_engine, epoch: int,
             entry["aux_sum"] += float(aux)
             entry["aux_count"] += 1
 
+    def drain():
+        if not pending:
+            return
+        fetched = jax.device_get([logs for _, _, logs in pending])
+        for (tid, ttype, _), vals in zip(pending, fetched):
+            epoch_losses[tid].append(float(vals["total_loss"]))
+            if "task_weight" in vals:
+                epoch_weights[ttype].append(float(vals["task_weight"]))
+            if "moe_importance" in vals:
+                upd_moe(moe_task_stats, tid, ttype,
+                        np.asarray(vals["moe_importance"]),
+                        np.asarray(vals["moe_load"]), vals.get("moe_aux"))
+                upd_moe(moe_group_stats, ttype, ttype,
+                        np.asarray(vals["moe_importance"]),
+                        np.asarray(vals["moe_load"]), vals.get("moe_aux"))
+        pending.clear()
+
+    seen_types = set()  # first-of-type steps compile: taint timer windows
     for batch_idx, batch in enumerate(train_engine):
-        step = int(trainer.state.step)
         if profiler is not None:
-            profiler.maybe_start(step)
-        if timer is not None:
-            timer.start()
+            profiler.maybe_start(trainer.host_step)
+        first_of_type = batch["task_type"] not in seen_types
+        seen_types.add(batch["task_type"])
         logs = trainer.train_batch(batch, epoch)
-        if timer is not None:
-            jax.block_until_ready(logs["total_loss"])
-            timer.stop()
         if profiler is not None:
-            profiler.maybe_stop(step + 1)
-        tid = batch["task_id"]
-        ttype = batch["task_type"]
-        epoch_losses[tid].append(float(logs["total_loss"]))
-        if "task_weight" in logs:
-            epoch_weights[ttype].append(float(logs["task_weight"]))
-        if "moe_importance" in logs:
-            imp = np.asarray(logs["moe_importance"])
-            load = np.asarray(logs["moe_load"])
-            aux = logs.get("moe_aux")
-            upd_moe(moe_task_stats, tid, ttype, imp, load, aux)
-            upd_moe(moe_group_stats, ttype, ttype, imp, load, aux)
+            profiler.maybe_stop(trainer.host_step)
+        if timer is not None:
+            timer.lap(lambda: jax.block_until_ready(logs["total_loss"]),
+                      taint=first_of_type)
+        pending.append((batch["task_id"], batch["task_type"], logs))
+        # bound the number of retained tiny device buffers on long epochs
+        if len(pending) >= 256:
+            drain()
 
         if print_freq > 0 and (batch_idx + 1) % print_freq == 0:
+            drain()
+            tid = batch["task_id"]
             avg = float(np.mean(epoch_losses[tid]))
             print(f"  Batch [{batch_idx + 1}/{len(train_engine)}] | "
                   f"Task: {tid} | Loss: {avg:.4f}")
+    drain()
 
     def finalize(stats_dict):
         out = {}
@@ -116,6 +137,13 @@ def fit(config_path: Optional[str] = None, config=None,
     if config is None:
         config = load_config(config_path)
     rng = set_seed(config.seed)
+
+    # persistent executable cache: restarts/resumes load programs instead
+    # of recompiling (gate: experiment.compile_cache, default on)
+    if bool(config.get("experiment.compile_cache", True)):
+        from fmc_uia_tpu.utils.jax_cache import enable_persistent_cache
+
+        enable_persistent_cache(config.get("experiment.compile_cache_dir"))
 
     if mesh is None:
         from fmc_uia_tpu.parallel import init_distributed, mesh_from_config

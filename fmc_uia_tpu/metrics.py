@@ -217,17 +217,27 @@ def evaluate(model, params, val_engine, registry: TaskRegistry, mean, std,
     task_metrics: Dict[str, Dict[str, list]] = defaultdict(
         lambda: defaultdict(list))
 
+    # dispatch all batches first, materialize device stats in bulk — a
+    # float()/np.asarray() per batch would sync the pipeline per batch
+    # (same deferral as fit._train_epoch, PERF.md r2-26)
+    pending = []  # (tid, ttype, valid_np, device stats)
     for batch in val_engine:
-        tid = batch["task_id"]
-        ttype = batch["task_type"]
         images = jnp.asarray(batch["image"])
         labels = jnp.asarray(batch["label"])
         tindex = jnp.int32(batch["task_index"])
         valid_np = np.asarray(batch.get(
             "valid", np.ones((images.shape[0],), bool)))
-        stats = steps[ttype](params, images, labels, tindex,
-                             jnp.asarray(valid_np))
+        stats = steps[batch["task_type"]](params, images, labels, tindex,
+                                          jnp.asarray(valid_np))
+        pending.append((batch["task_id"], batch["task_type"], valid_np,
+                        stats))
+        if len(pending) % 32 == 0:
+            # backpressure: bound in-flight input buffers (~19 MB each at
+            # 512^2) without serializing every batch
+            jax.block_until_ready(stats[next(iter(stats))])
 
+    fetched = jax.device_get([p[3] for p in pending])
+    for (tid, ttype, valid_np, _), stats in zip(pending, fetched):
         if ttype == CLASSIFICATION:
             y_pred = np.asarray(stats["preds"])[valid_np]
             y_true = np.asarray(stats["labels"])[valid_np]

@@ -34,6 +34,10 @@ def main():
 
     import jax
 
+    from fmc_uia_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from fmc_uia_tpu import checkpoint as ckpt_lib
     from fmc_uia_tpu.config import load_config
     from fmc_uia_tpu.export import export_predictions

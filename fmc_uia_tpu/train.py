@@ -517,6 +517,12 @@ class Trainer:
         self.accum_steps = int(
             config.get("training.accumulation_steps", 1) or 1)
         self._micro_step = 0
+        # host-side step counter (number of train_batch dispatches): readers
+        # that only need "which step is this" must NOT touch state.step — a
+        # device array whose int() blocks on the in-flight step and costs a
+        # device->host round-trip per step (fit._train_epoch regression,
+        # PERF.md r2-26)
+        self.host_step = 0
         grad_accum = None
         if self.accum_steps > 1:
             grad_accum = jax.tree_util.tree_map(
@@ -636,6 +642,7 @@ class Trainer:
                 self._micro_step % self.accum_steps == 0)
             args.append(apply_flag)
         self.state, logs = self.steps[task_type](*args)
+        self.host_step += 1
         return logs
 
     def train_burst(self, batch: Dict, n_steps: int,

@@ -58,42 +58,66 @@ class ProfileTrace:
 
 
 class StepTimer:
-    """Per-step wall-time collector with percentile summaries."""
+    """Windowed step-time collector with percentile summaries.
 
-    def __init__(self, skip_first: int = 2):
-        self.skip_first = skip_first
+    Timing each step individually requires a device sync per step, and on
+    TPU (especially through a remote-dispatch tunnel) that round-trip
+    serializes the async pipeline — the act of measuring slows training by
+    tens of ms/step. Instead steps are timed in windows of ``window``
+    dispatches with ONE sync at each boundary (``lap(sync)``); each sample
+    is the mean step time of its window, percentiles are over window means.
+    The first window absorbs compile/cache-load time and is dropped; later
+    task-type first-compiles can still pollute single windows, so the
+    throughput figure uses the (robust) p50, not the mean.
+    """
+
+    def __init__(self, window: int = 8, skip_windows: int = 1):
+        self.window = max(1, int(window))
+        self.skip_windows = int(skip_windows)
         self._times: List[float] = []
-        self._count = 0
+        self._laps = 0
+        self._nwin = 0
         self._t0: Optional[float] = None
+        self._tainted = False
 
-    def start(self) -> None:
-        self._t0 = time.perf_counter()
-
-    def stop(self) -> None:
-        if self._t0 is None:
+    def lap(self, sync=None, taint: bool = False) -> None:
+        """Called once per step with a zero-arg device-sync callable; only
+        every ``window``-th call actually syncs and records. ``taint=True``
+        marks the current window as compile-contaminated (first dispatch of
+        a program) — it is timed but not recorded."""
+        if taint:
+            self._tainted = True
+        self._laps += 1
+        if self._laps % self.window:
             return
-        dt = time.perf_counter() - self._t0
-        self._t0 = None
-        self._count += 1
-        if self._count > self.skip_first:  # drop compile steps
-            self._times.append(dt)
+        if sync is not None:
+            sync()
+        now = time.perf_counter()
+        if self._t0 is not None:
+            self._nwin += 1
+            if self._nwin > self.skip_windows and not self._tainted:
+                self._times.append((now - self._t0) / self.window)
+        self._t0 = now
+        self._tainted = False
 
     def summary(self, batch_size: Optional[int] = None) -> Dict[str, float]:
         if not self._times:
             return {}
         arr = np.asarray(self._times)
         out = {
-            "steps": len(arr),
+            "steps": len(arr) * self.window,
             "mean_s": float(arr.mean()),
             "p50_s": float(np.percentile(arr, 50)),
             "p90_s": float(np.percentile(arr, 90)),
             "p99_s": float(np.percentile(arr, 99)),
         }
         if batch_size:
-            out["images_per_sec"] = batch_size / out["mean_s"]
+            out["images_per_sec"] = batch_size / out["p50_s"]
             out["p50_per_image_ms"] = out["p50_s"] / batch_size * 1e3
         return out
 
     def reset(self) -> None:
         self._times.clear()
-        self._count = 0
+        self._laps = 0
+        self._nwin = 0
+        self._t0 = None
