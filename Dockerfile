@@ -27,4 +27,7 @@ RUN apt-get update && apt-get install -y --no-install-recommends g++ \
 # train:   docker run ... python -m fmc_uia_tpu --config configs/config.yaml
 # inference: docker run ... python -m fmc_uia_tpu.predict \
 #              --checkpoint /ckpt --data /data --out /preds
+# serving: docker run -p 8000:8000 ... --entrypoint python <img> \
+#              -m fmc_uia_tpu.serve --checkpoint /ckpt --port 8000
+EXPOSE 8000
 ENTRYPOINT ["python", "-m", "fmc_uia_tpu.predict"]
