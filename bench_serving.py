@@ -72,9 +72,14 @@ def main():
     for mb in batch_sizes:
         svc = StreamingPredictor(model, params, registry, mean, std,
                                  image_size, max_batch=mb, max_delay_ms=5.0)
-        # warm every task-type program (compile outside the timed window)
-        for tid in task_ids:
-            svc.submit(image, tid).result()
+        # compile OUTSIDE the timed window: every (task type, chain size)
+        # program the autoscale dispatcher can hit — a lone first-request
+        # warmup only builds the batch-1 programs, and the flood below then
+        # pays multi-minute lazy compiles inside the measurement
+        t0 = time.perf_counter()
+        svc.warmup(task_ids=task_ids)
+        log(f"warmup max_batch={mb}: chain {svc._chain} compiled in "
+            f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         submit_ts, futs = [], []
         for i in range(n_requests):

@@ -120,10 +120,16 @@ class Predictor:
 
     def predict_images(self, images_u8: np.ndarray, task_id: str):
         """images_u8: [B, S, S, 3] resized uint8 batch -> per-type output."""
+        return np.asarray(self.predict_device(images_u8, task_id))
+
+    def predict_device(self, images_u8: np.ndarray, task_id: str):
+        """Like predict_images but returns the (possibly still in-flight)
+        device array without a host sync — callers that overlap dispatch
+        with readback (serving.py) block on np.asarray themselves."""
         spec = self.registry[task_id]
         fn = self.fns[spec.task_name]
-        return np.asarray(fn(self.params, jnp.asarray(images_u8),
-                             jnp.int32(spec.global_index)))
+        return fn(self.params, jnp.asarray(images_u8),
+                  jnp.int32(spec.global_index))
 
 
 def export_predictions(model, params, data_root: str, out_dir: str,

@@ -8,6 +8,10 @@ challenge output contract. Design:
   * requests enter per-task queues; a single dispatcher thread drains them
     into fixed-size micro-batches (padding the tail), so the TPU always
     sees the same shapes — zero recompiles at serve time.
+  * dispatch is ASYNC: the dispatcher enqueues the jitted call's device
+    array to a completion thread and immediately assembles the next batch,
+    so host readback overlaps device execution (bounded by
+    ``max_inflight``); the device never idles between micro-batches.
   * one device program per task TYPE (shared with export.Predictor);
     batching amortizes the per-dispatch host/tunnel latency that dominates
     batch-1 p50 (PERF.md round 1: ~1.5 ms dispatch vs ~30 ms compute at
@@ -50,7 +54,8 @@ class StreamingPredictor:
 
     def __init__(self, model, params, registry: TaskRegistry, mean, std,
                  image_size: int, max_batch: int = 16,
-                 max_delay_ms: float = 5.0, autoscale: bool = True):
+                 max_delay_ms: float = 5.0, autoscale: bool = True,
+                 max_inflight: int = 2):
         self.predictor = Predictor(model, params, registry, mean, std,
                                    image_size)
         self.registry = registry
@@ -74,6 +79,15 @@ class StreamingPredictor:
             tid: queue.Queue() for tid in registry.task_ids}
         self._wake = threading.Event()
         self._closed = False
+        # async dispatch: the dispatcher hands the (in-flight) device array
+        # to a completion thread and immediately builds the next batch, so
+        # the device never idles waiting for host readback. max_inflight
+        # bounds queued device work (latency + memory).
+        self._inflight = threading.Semaphore(max(1, int(max_inflight)))
+        self._done_q: "queue.Queue" = queue.Queue()
+        self._completer = threading.Thread(target=self._completion_loop,
+                                           daemon=True)
+        self._completer.start()
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
         self._thread.start()
@@ -115,7 +129,9 @@ class StreamingPredictor:
     def close(self) -> None:
         self._closed = True
         self._wake.set()
-        self._thread.join(timeout=10)
+        self._thread.join(timeout=30)
+        self._done_q.put(None)  # completer exits after draining
+        self._completer.join(timeout=30)
 
     # -- dispatcher ----------------------------------------------------------
     def _ready_task(self) -> Optional[str]:
@@ -177,11 +193,32 @@ class StreamingPredictor:
             self.stats["dispatches"] += 1
             self.stats["pad_images"] += target - n_real
             self.stats["by_size"][target] += 1
+            self._inflight.acquire()
             try:
-                preds = self.predictor.predict_images(images, tid)[:n_real]
+                dev = self.predictor.predict_device(images, tid)
+            except Exception as e:  # dispatch/compile failure
+                self._inflight.release()
+                for _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self._done_q.put((dev, items, n_real))
+
+    def _completion_loop(self) -> None:
+        """Block on device results and fulfil futures, off the dispatch
+        path — readback overlaps the next batch's device execution."""
+        while True:
+            entry = self._done_q.get()
+            if entry is None:
+                return
+            dev, items, n_real = entry
+            try:
+                preds = np.asarray(dev)[:n_real]
                 for (_, fut, _), pred in zip(items, preds):
                     fut.set_result(np.asarray(pred))
             except Exception as e:  # pragma: no cover - device failure
                 for _, fut, _ in items:
                     if not fut.done():
                         fut.set_exception(e)
+            finally:
+                self._inflight.release()

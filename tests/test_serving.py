@@ -109,3 +109,28 @@ def test_warmup_precompiles_chain(service):
     service.warmup(task_ids=["T1_planes"], sizes=[1, 2])
     # no exception and no queued work afterwards
     assert all(q.empty() for q in service._queues.values())
+
+
+def test_mixed_flood_results_route_correctly(service):
+    """Async dispatch (completion thread, max_inflight>1) must not scramble
+    result->future routing across task types or within a batch."""
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (S, S, 3), dtype=np.uint8)
+    futs = []
+    for i in range(24):
+        tid = ["T2A_organ_a", "T1_planes", "T4_box", "T5_points"][i % 4]
+        futs.append((tid, service.submit(img, tid)))
+    for tid, f in futs:
+        r = f.result(timeout=240)
+        if tid == "T2A_organ_a":
+            assert r.shape == (S, S)
+        elif tid == "T1_planes":
+            assert r.shape == ()
+        elif tid == "T4_box":
+            assert r.shape == (4,)
+        else:
+            assert r.ndim == 1 and r.shape[0] >= 4
+    # identical inputs -> identical outputs (catches wrong-slice bugs)
+    f1 = service.submit(img, "T1_planes")
+    f2 = service.submit(img, "T1_planes")
+    assert int(f1.result(timeout=240)) == int(f2.result(timeout=240))
