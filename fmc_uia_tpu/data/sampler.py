@@ -61,3 +61,16 @@ class MultiTaskUniformSampler:
                 batch = indices[start:end]
                 cursors[task_id] = end
             yield batch
+
+    def advance_epochs(self, n: int) -> None:
+        """Fast-forward the scheduler state by ``n`` epochs.
+
+        Resume support: replays the index-generation sequence (RNG draws +
+        wraparound reshuffles) without materializing batches, so a resumed
+        run sees exactly the data order the original run would have seen
+        from epoch ``n`` on. Host-side index ops only — cost is
+        O(n * steps_per_epoch). The reference has no resume path at all
+        (SURVEY §5: save-only checkpoints, reference train.py:710-727)."""
+        for _ in range(int(n)):
+            for _ in self:
+                pass

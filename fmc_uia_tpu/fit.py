@@ -14,6 +14,7 @@ CLI: ``python -m fmc_uia_tpu --config configs/config.yaml [--resume]``.
 
 from __future__ import annotations
 
+import signal
 import time
 from collections import defaultdict
 from typing import Dict, Optional
@@ -37,8 +38,42 @@ from fmc_uia_tpu.utils.logger import (
 )
 
 
+class _PreemptionGuard:
+    """Preemption-safe training: set a flag on SIGTERM, act at a safe point.
+
+    TPU pod/VM preemptions (and most cluster schedulers) deliver SIGTERM
+    with a grace window. The handler only flips a flag; ``fit()`` drains
+    pending device work, writes a full checkpoint at the next batch
+    boundary, and exits cleanly so ``--resume`` continues from the
+    interrupted epoch. The reference has no recovery story at all
+    (SURVEY §5: save-only checkpoints, no resume)."""
+
+    def __init__(self, enabled: bool = True):
+        self.requested = False
+        self._prev = None
+        self._installed = False
+        if not enabled:
+            return
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._handler)
+            self._installed = True
+        except ValueError:  # pragma: no cover - non-main-thread callers
+            pass
+
+    def _handler(self, signum, frame):
+        self.requested = True
+        print("\nSIGTERM received — checkpointing at the next batch "
+              "boundary, then exiting (continue with --resume)", flush=True)
+
+    def close(self):
+        if self._installed:
+            signal.signal(signal.SIGTERM, self._prev)
+            self._installed = False
+
+
 def _train_epoch(trainer: Trainer, train_engine, epoch: int,
-                 print_freq: int, profiler=None, timer=None) -> Dict:
+                 print_freq: int, profiler=None, timer=None,
+                 stop=None) -> Dict:
     """One epoch; returns (per-task losses, adaptive weights, moe stats).
 
     The loop body does NO per-step device reads: ``float(logs[...])`` /
@@ -86,6 +121,8 @@ def _train_epoch(trainer: Trainer, train_engine, epoch: int,
 
     seen_types = set()  # first-of-type steps compile: taint timer windows
     for batch_idx, batch in enumerate(train_engine):
+        if stop is not None and stop():
+            break  # preemption: leave already-dispatched steps to drain()
         if profiler is not None:
             profiler.maybe_start(trainer.host_step)
         first_of_type = batch["task_type"] not in seen_types
@@ -210,6 +247,12 @@ def fit(config_path: Optional[str] = None, config=None,
             best_epoch = start_epoch  # the restored best is <= this epoch
             for _ in range(start_epoch):
                 trainer.scheduler.step()
+            # exact-order resume: the per-step model RNG already folds in
+            # the restored state.step; fast-forward the sampler RNG too so
+            # epoch N after resume yields the same batches as an unbroken
+            # run's epoch N
+            if train_engine.sampler is not None:
+                train_engine.sampler.advance_epochs(start_epoch)
             print(f"Resumed from {path} at epoch {start_epoch}")
 
     print_freq = int(config.get("training.print_freq", 50) or 0)
@@ -220,6 +263,8 @@ def fit(config_path: Optional[str] = None, config=None,
 
     profiler = ProfileTrace(config, str(ckpt_dir / "profile"))
     timer = StepTimer()
+    guard = _PreemptionGuard(bool(config.get(
+        "experiment.preemption_checkpoint", True)))
 
     # console banner format mirrors reference train.py:526-529, :555-557
     print(f"\n{'=' * 80}")
@@ -236,7 +281,25 @@ def fit(config_path: Optional[str] = None, config=None,
         print("-" * 80)
         epoch_losses, epoch_weights, moe_stats = _train_epoch(
             trainer, train_engine, epoch, print_freq,
-            profiler=profiler, timer=timer)
+            profiler=profiler, timer=timer, stop=lambda: guard.requested)
+        if guard.requested:
+            # interrupted mid-epoch: persist the full train state with the
+            # completed-epoch count so --resume redoes this epoch (the
+            # step-folded RNG and fast-forwarded sampler line back up)
+            ckpt_lib.save_checkpoint(ckpt_dir, trainer.state, epoch,
+                                     best_val_score, config.config)
+            guard.close()
+            profiler.close()
+            logger.save_final_summary(best_epoch=best_epoch,
+                                      best_score=best_val_score)
+            print(f"Preempted during epoch {epoch + 1}; checkpoint saved "
+                  f"to {ckpt_dir} — continue with --resume")
+            return {
+                "best_score": best_val_score,
+                "best_epoch": best_epoch,
+                "experiment_dir": str(logger.get_experiment_dir()),
+                "preempted": True,
+            }
         timing = timer.summary(batch_size=config.batch_size)
         if timing:
             print(f"  step p50={timing['p50_s'] * 1e3:.1f}ms  "
@@ -306,6 +369,7 @@ def fit(config_path: Optional[str] = None, config=None,
             ckpt_lib.save_checkpoint(ckpt_dir, trainer.state, epoch + 1,
                                      best_val_score, config.config)
 
+    guard.close()
     profiler.close()
     logger.save_final_summary(best_epoch=best_epoch,
                               best_score=best_val_score)

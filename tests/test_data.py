@@ -99,6 +99,21 @@ def test_sampler_uniform_and_wraparound():
         assert len(batch) == 2
 
 
+def test_sampler_advance_epochs_matches_unbroken_run():
+    """Resume fast-forward: advance_epochs(n) + one epoch == the unbroken
+    run's epoch n (exact-order resume, fit.py resume block)."""
+    task_ids = ["a"] * 10 + ["b"] * 3
+    unbroken = MultiTaskUniformSampler(task_ids, batch_size=2,
+                                       steps_per_epoch=9, seed=7)
+    epochs = [list(unbroken) for _ in range(3)]
+    assert epochs[0] != epochs[2]  # RNG state really advances across epochs
+
+    resumed = MultiTaskUniformSampler(task_ids, batch_size=2,
+                                      steps_per_epoch=9, seed=7)
+    resumed.advance_epochs(2)
+    assert list(resumed) == epochs[2]
+
+
 def test_sampler_matches_reference_semantics():
     """Oracle: direct transliteration of the documented wraparound algorithm
     using the same seeded random.Random call sequence."""

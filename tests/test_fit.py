@@ -53,3 +53,71 @@ def test_fit_end_to_end(tmp_path):
 
     found = ckpt_lib.latest_checkpoint(d)
     assert found is not None and found[1]["epoch"] == 2
+
+
+def test_preemption_guard_sigterm_sets_flag():
+    """The guard installs a real SIGTERM handler that only flips a flag."""
+    import os
+    import signal as _signal
+
+    from fmc_uia_tpu.fit import _PreemptionGuard
+
+    g = _PreemptionGuard(True)
+    try:
+        assert not g.requested
+        os.kill(os.getpid(), _signal.SIGTERM)
+        assert g.requested  # handler ran at the bytecode boundary
+    finally:
+        g.close()
+    # handler restored: a disabled guard installs nothing
+    assert _signal.getsignal(_signal.SIGTERM) is _signal.SIG_DFL or callable(
+        _signal.getsignal(_signal.SIGTERM))
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
+    """Preemption mid-epoch writes a full checkpoint, returns cleanly with
+    preempted=True, and --resume picks the run back up."""
+    import fmc_uia_tpu.fit as fit_mod
+    from fmc_uia_tpu import checkpoint as ckpt_lib
+
+    root = tmp_path / "data"
+    generate_synthetic_dataset(str(root), samples_per_task=8, seed=0)
+
+    cfg_dict = copy.deepcopy(TINY_CONFIG)
+    cfg_dict["data"]["root_path"] = str(root)
+    cfg_dict["data"]["batch_size"] = 4
+    cfg_dict["data"]["image_size"] = 64
+    cfg_dict["experiment"]["output_dir"] = str(tmp_path / "out")
+    cfg_dict["experiment"]["save_checkpoints"] = True
+    cfg_dict["experiment"]["checkpoint_freq"] = 50  # only preemption saves
+    cfg_dict["training"]["num_epochs"] = 2
+    cfg_dict["training"]["steps_per_epoch"] = 4
+
+    class FakeGuard:
+        """Deterministic stand-in: 'SIGTERM arrives' at the 3rd stop-check
+        (mid-first-epoch) — the signal wiring itself is covered above."""
+
+        def __init__(self, enabled=True):
+            self.checks = 0
+
+        @property
+        def requested(self):
+            self.checks += 1
+            return self.checks > 3
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(fit_mod, "_PreemptionGuard", FakeGuard)
+    result = fit(config=Config(config_dict=copy.deepcopy(cfg_dict)))
+    assert result["preempted"] is True
+
+    found = ckpt_lib.latest_checkpoint(cfg_dict["experiment"]["output_dir"])
+    assert found is not None
+    assert found[1]["epoch"] == 0  # epoch 0 was interrupted, redo it
+
+    monkeypatch.undo()  # real guard for the resumed run
+    result2 = fit(config=Config(config_dict=copy.deepcopy(cfg_dict)),
+                  resume=True)
+    assert "preempted" not in result2
+    assert result2["best_epoch"] >= 1
