@@ -25,8 +25,12 @@ strictly MORE work — this choice can only flatter the torch side).
 Usage:  python scripts/bench_reference_torch.py [--batch 2] [--steps 3]
         (runs both sides; use --side torch|jax for one)
 
-Results go in BASELINE.md; this does NOT replace the A100 derivation,
-it grounds the framework-vs-framework ratio with a same-device number.
+Result (recorded in BASELINE.md as a negative finding): torch eager
+0.081 img/s vs XLA:CPU 0.028 img/s on the single host core — at this
+scale the ratio measures oneDNN-vs-XLA:CPU convolution codegen, not
+framework design, and does not inform the A100/TPU denominator in
+either direction. The A100 estimate stands on BASELINE.md's analytic
+derivation.
 """
 
 import argparse
