@@ -113,9 +113,10 @@ def build_bench(encoder: str, image_size: int, batch: int):
     # dynamic-slice/DUS traffic of the 18-block stage; +4% measured, at
     # ~2.5x its compile time
     scan_env = os.environ.get("BENCH_SCAN_STAGES", "0,1,3")  # "" = scan all
-    if scan_env:
+    if scan_env:  # "none" = unroll every stage (no scanned params at all)
         cfg.config["model"]["encoder"]["scan_stages"] = (
-            [int(s) for s in scan_env.split(",")])
+            [] if scan_env.lower() == "none"
+            else [int(s) for s in scan_env.split(",")])
     # fused Pallas attention branch (LN+partition+qkv+attn+proj in VMEM):
     # 87.2 -> 104.3 img/s measured
     cfg.config["model"]["encoder"]["fused_block"] = (
