@@ -58,8 +58,12 @@ class FPNDecoder(nn.Module):
                 x = nn.Conv(self.segmentation_channels, (3, 3),
                             use_bias=False, dtype=self.dtype,
                             name=f"{name}_conv{i}")(x)
+                # stats are f32 inside flax regardless; emitting the output
+                # in the compute dtype halves the materialized GN tensors
+                # feeding the next conv (same trade as the encoder's ln_bf16,
+                # PERF.md r2-6) and matches BankedGroupNorm in the heads.
                 x = nn.GroupNorm(gn_groups(self.segmentation_channels),
-                                 dtype=jnp.float32)(x)
+                                 dtype=self.dtype)(x)
                 x = nn.relu(x)
                 if i < n_upsamples:
                     x = upsample_2x(x, method="bilinear")

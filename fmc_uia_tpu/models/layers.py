@@ -46,7 +46,7 @@ class ConvGNAct(nn.Module):
             use_bias=False, dtype=self.dtype,
         )(x)
         x = nn.GroupNorm(num_groups=gn_groups(self.features),
-                         dtype=jnp.float32)(x)
+                         dtype=self.dtype)(x)
         return self.act(x)
 
 

@@ -25,6 +25,11 @@ from fmc_uia_tpu.parallel.expert import (
     default_capacity,
     ragged_moe_apply,
 )
+from fmc_uia_tpu.parallel.zero import (
+    shard_opt_state,
+    zero_sharded_fraction,
+    zero_spec_for_leaf,
+)
 
 __all__ = [
     "pipeline_apply",
@@ -44,4 +49,7 @@ __all__ = [
     "init_distributed",
     "make_hybrid_mesh",
     "mesh_from_config",
+    "shard_opt_state",
+    "zero_sharded_fraction",
+    "zero_spec_for_leaf",
 ]

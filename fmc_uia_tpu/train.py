@@ -566,6 +566,18 @@ class Trainer:
                 )
             else:
                 self.state = replicate(self.state, self.mesh)
+            # ZeRO-1: shard the optimizer moments over the data axis (the
+            # gradient all-reduce becomes reduce-scatter + all-gather, both
+            # compiler-emitted; parallel/zero.py)
+            data_size = dict(zip(self.mesh.axis_names,
+                                 self.mesh.devices.shape)).get("data", 1)
+            if (bool(config.get("parallel.zero_optimizer", False))
+                    and data_size > 1):
+                from fmc_uia_tpu.parallel import shard_opt_state
+
+                self.state = self.state.replace(
+                    opt_state=shard_opt_state(self.state.opt_state,
+                                              self.mesh))
         self.scheduler = LRScheduler(config)
 
         self.steps = {}
