@@ -214,12 +214,21 @@ class MultiTaskDataset:
                  max_reg_points: Optional[int] = None,
                  force_grayscale: bool = False,
                  use_adaptive_norm: bool = False,
-                 bg_threshold="auto"):
+                 bg_threshold="auto",
+                 cache_samples: bool = False):
         self.data_root = data_root
         self.image_size = int(image_size)
         self.force_grayscale = bool(force_grayscale)
         self.use_adaptive_norm = bool(use_adaptive_norm)
         self.bg_threshold = bg_threshold
+        # opt-in RAM cache of decoded+resized samples (config
+        # data.cache_samples). All geometry is deterministic per index
+        # (photometric augmentation runs on DEVICE, ops/image.py), so the
+        # post-resize sample is a pure function of the row — caching it
+        # removes the per-epoch decode/resize cost for datasets that fit
+        # in host RAM. The reference re-decodes every epoch.
+        self.cache_samples = bool(cache_samples)
+        self._sample_cache: Dict[int, Dict] = {}
         self.csv_path = os.path.join(data_root, "csv_files")
         if not os.path.isdir(self.csv_path):
             raise FileNotFoundError(f"CSV path not found: {self.csv_path}")
@@ -258,6 +267,16 @@ class MultiTaskDataset:
         return configs
 
     def __getitem__(self, idx: int) -> Dict:
+        if self.cache_samples:
+            hit = self._sample_cache.get(idx)
+            if hit is not None:
+                return hit
+        out = self._load_item(idx)
+        if self.cache_samples:
+            self._sample_cache[idx] = out
+        return out
+
+    def _load_item(self, idx: int) -> Dict:
         record = self.dataframe.iloc[idx]
         task_id = record["task_id"]
         task_name = record["task_name"]

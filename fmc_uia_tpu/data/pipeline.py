@@ -176,6 +176,7 @@ def build_data_engines(config, registry: Optional[TaskRegistry] = None
         force_grayscale=bool(config.get("data.force_grayscale", False)),
         use_adaptive_norm=bool(config.get("data.use_adaptive_norm", False)),
         bg_threshold=config.get("data.bg_threshold", "auto"),
+        cache_samples=bool(config.get("data.cache_samples", False)),
     )
 
     task_configs = dataset.derive_task_configs()

@@ -495,6 +495,14 @@ class SwinEncoder(nn.Module):
             return ((remat_block_cls, remat_pair_cls) if on
                     else (SwinBlock, SwinBlockPair))
 
+        # Activation layout pins for tensor parallelism: without them GSPMD
+        # must infer a layout through the PatchMerging reshape/transpose and
+        # falls back to involuntary full rematerialization (replicate +
+        # repartition) at every stage boundary. Batch stays on 'data',
+        # features replicated over 'model' (Megatron block-boundary layout).
+        # No-op without an installed mesh (parallel/activation.py).
+        from fmc_uia_tpu.parallel import shard_batch_activation
+
         features = []
         for stage, depth in enumerate(self.depths):
             block_cls, pair_cls = stage_classes(stage)
@@ -502,8 +510,10 @@ class SwinEncoder(nn.Module):
                 self.fused_stages is None
                 or stage in tuple(self.fused_stages))
             if stage > 0:
+                x = shard_batch_activation(x)
                 x = PatchMerging(dtype=self.dtype, ln_bf16=self.ln_bf16,
                                  name=f"merge{stage}")(x)
+                x = shard_batch_activation(x)
             dim = self.embed_dim * (2**stage)
             scan_this = self.scan_blocks and (
                 self.scan_stages is None

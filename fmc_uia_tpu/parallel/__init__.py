@@ -30,8 +30,18 @@ from fmc_uia_tpu.parallel.zero import (
     zero_sharded_fraction,
     zero_spec_for_leaf,
 )
+from fmc_uia_tpu.parallel.activation import (
+    activation_mesh,
+    set_activation_mesh,
+    shard_activation,
+    shard_batch_activation,
+)
 
 __all__ = [
+    "activation_mesh",
+    "set_activation_mesh",
+    "shard_activation",
+    "shard_batch_activation",
     "pipeline_apply",
     "pipeline_loss_fn",
     "shard_stage_params",

@@ -344,6 +344,19 @@ def load_pretrained_encoder(encoder_name: str, checkpoint_path: str,
         return merge_params(current_params, converted)
 
     if encoder_name.startswith("resnet"):
+        import warnings
+
+        # The reference's smp resnet50 is BatchNorm (reference
+        # encoders.py:748-796); ours is GroupNorm (batch-independent under
+        # single-task round-robin batches). Folding BN affine into GN scale/
+        # bias keeps the conv weights but CHANGES normalization semantics
+        # (running statistics are dropped) — pretrained resnet weights are
+        # a warm start here, not a numerically faithful import.
+        warnings.warn(
+            "resnet pretrained import: BatchNorm running statistics are "
+            "dropped (this encoder uses GroupNorm); expect an adaptation "
+            "phase when fine-tuning — outputs will NOT match the torch "
+            "model.", UserWarning, stacklevel=2)
         converted = convert_resnet50(sd)
         return merge_params(current_params, converted)
 

