@@ -25,6 +25,7 @@ Optimizer parity notes (reference train.py:176-253):
 from __future__ import annotations
 
 import functools
+import time as _time
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -599,6 +600,67 @@ class Trainer:
         # under axon); values change at epoch granularity, so cache by value
         self._scalar_cache: Dict = {}
         self._burst_cache: Dict = {}
+        # AOT-compiled executables (warm_compile); keyed by
+        # (task_type, image/label shapes+dtypes) and preferred by
+        # train_batch when the key matches exactly
+        self._compiled: Dict = {}
+
+    @staticmethod
+    def _compiled_key(task_type: str, images, labels):
+        return (task_type, tuple(images.shape), str(images.dtype),
+                tuple(labels.shape), str(labels.dtype))
+
+    def warm_compile(self, example_batches: Dict[str, Dict],
+                     parallel: bool = True) -> Dict[str, float]:
+        """AOT-compile the per-type train steps, optionally in parallel.
+
+        A fresh process pays one compile (or persistent-cache
+        deserialization, which under the axon remote helper is itself
+        30-500 s for the biggest program) per task type. ``jit`` only
+        compiles at first call, serializing the 4 programs on the dispatch
+        path; ``lower().compile()`` has no such ordering constraint, so the
+        4 compiles run concurrently on threads (XLA compilation releases
+        the GIL). The resulting executables are stored and preferred by
+        ``train_batch`` — re-calling the jit'd step would otherwise
+        recompile from scratch (AOT does not seed jit's C++ fastpath cache).
+
+        Donation semantics are preserved: donate_argnums is part of the
+        lowering, and the executable consumes the state buffers at call
+        time exactly like the jit path.
+
+        Args:
+          example_batches: task_type -> batch dict (as given to
+            train_batch) with final shapes/dtypes.
+        Returns: task_type -> compile seconds.
+        """
+        if self.accum_steps > 1:
+            return {}  # accumulation path takes an extra arg; jit handles it
+
+        def compile_one(task_type, batch):
+            t0 = _time.time()
+            images, labels, task_index, lr, adaptive_enable = (
+                self._step_args(batch, 0))
+            lowered = self.steps[task_type].lower(
+                self.state, images, labels, task_index, lr,
+                adaptive_enable, self.rng)
+            compiled = lowered.compile()
+            key = self._compiled_key(task_type, images, labels)
+            self._compiled[key] = compiled
+            return _time.time() - t0
+
+        times: Dict[str, float] = {}
+        if parallel and len(example_batches) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(example_batches)) as ex:
+                futs = {t: ex.submit(compile_one, t, b)
+                        for t, b in example_batches.items()}
+                for t, f in futs.items():
+                    times[t] = f.result()
+        else:
+            for t, b in example_batches.items():
+                times[t] = compile_one(t, b)
+        return times
 
     def _dev_scalar(self, key: str, value, dtype) -> jax.Array:
         ent = self._scalar_cache.get(key)
@@ -660,7 +722,12 @@ class Trainer:
             apply_flag = jnp.asarray(
                 self._micro_step % self.accum_steps == 0)
             args.append(apply_flag)
-        self.state, logs = self.steps[task_type](*args)
+            self.state, logs = self.steps[task_type](*args)
+        else:
+            compiled = self._compiled.get(
+                self._compiled_key(task_type, images, labels))
+            fn = compiled if compiled is not None else self.steps[task_type]
+            self.state, logs = fn(*args)
         self.host_step += 1
         return logs
 
