@@ -118,6 +118,18 @@ def main():
             print(f"  {us / nsteps / 1e3:8.2f} ms  {100 * us / total:5.1f}%"
                   f"  {name[:110]}")
 
+        # full table for offline analysis (PROFILE_DUMP=/path/prefix)
+        dump = os.environ.get("PROFILE_DUMP")
+        if dump:
+            path = f"{dump}_{t}.tsv"
+            with open(path, "w") as f:
+                f.write("ms_per_step\tpct\tcategory\top\n")
+                for name, us in sorted(per_op.items(), key=lambda kv: -kv[1]):
+                    f.write(f"{us / nsteps / 1e3:.4f}\t"
+                            f"{100 * us / total:.2f}\t"
+                            f"{categorize(name)}\t{name}\n")
+            print(f"full op table -> {path}")
+
 
 if __name__ == "__main__":
     main()
