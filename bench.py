@@ -132,6 +132,11 @@ def build_bench(encoder: str, image_size: int, batch: int):
             int(s) for s in fs_env.split(",")]
     cfg.config["model"]["encoder"]["window_size"] = int(
         os.environ.get("BENCH_WINDOW", "8"))
+    # fused Pallas photometric preprocess (one VMEM pass + HW PRNG instead
+    # of several jnp passes + threefry over [B,512,512,3]); same
+    # distribution, different RNG stream (ops/preprocess_pallas.py)
+    cfg.config["data"]["fused_preprocess"] = (
+        os.environ.get("BENCH_FUSED_PREPROC", "0") == "1")
     cfg._set_attributes()
 
     registry = TaskRegistry.from_config(cfg)

@@ -104,6 +104,15 @@ def main():
         if ips > best[0]:
             best = (ips, mb)
 
+    # SLO gate (VERDICT r2 #10): under the concurrent flood, batch-1 e2e
+    # p50 must stay within SRV_SLO_MS (default: 3x the raw batch-1 jitted
+    # forward p50 from bench_latency.py — queueing + decode headroom).
+    slo_ms = float(os.environ.get("SRV_SLO_MS", "120"))
+    slo_entry = results.get("batch_1") or next(iter(results.values()))
+    slo_ok = slo_entry["p50_ms"] <= slo_ms
+    log(f"SLO: e2e p50 {slo_entry['p50_ms']:.1f} ms vs {slo_ms:.0f} ms "
+        f"-> {'PASS' if slo_ok else 'FAIL'}")
+
     print(json.dumps({
         "metric": f"{encoder} {image_size}^2 serving throughput "
                   f"(StreamingPredictor, mixed 4-type traffic)",
@@ -111,7 +120,12 @@ def main():
         "unit": "images/sec",
         "best_max_batch": best[1],
         "per_batch": results,
+        "slo_ms": slo_ms,
+        "slo_p50_ms": slo_entry["p50_ms"],
+        "slo_pass": slo_ok,
     }))
+    if not slo_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

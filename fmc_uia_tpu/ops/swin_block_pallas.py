@@ -612,21 +612,37 @@ _MLP_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _pick_mlp_tile(T: int, C: int, Ch: int, *, bwd: bool) -> int:
-    """Largest power-of-two tile dividing T whose VMEM working set fits.
+    """Largest tile dividing T whose VMEM working set fits (0 = none).
 
     Per-tile bytes ≈ weights (f32 pair + bf16 casts = 12·C·Ch) + activations
     (x/LN/y chain ≈ 12·C + hidden f32-accum+bf16 ≈ 6·Ch per row); the vjp
-    backward roughly 2.5×'s the activation set (primals + cotangents)."""
+    backward roughly 2.5×'s the activation set (primals + cotangents).
+
+    T is B·H·W; at power-of-two image sizes it is a power-of-two multiple,
+    but e.g. swin_t@224² stage 1 gives T = 6272 = 128·49 — no power-of-two
+    candidate divides it, and falling back to one whole-T program blows the
+    scoped-VMEM stack (measured 97 MB vs the 64 MB limit). So: try the
+    power-of-two ladder first, then any divisor of T that is a multiple of
+    8 sublanes; return 0 when nothing fits and let the caller use XLA."""
     w_bytes = 12 * C * Ch
     factor = 2.5 if bwd else 1.0
     budget = int(_MLP_VMEM_LIMIT * 0.72)
+
+    def fits(tt: int) -> bool:
+        return w_bytes + tt * (12 * C + 6 * Ch) * factor <= budget
+
     for tt in (4096, 2048, 1024, 512, 256):
-        if T % tt:
-            continue
-        act = tt * (12 * C + 6 * Ch)
-        if w_bytes + act * factor <= budget:
+        if T % tt == 0 and fits(tt):
             return tt
-    return 256 if T % 256 == 0 else T
+    best = 0
+    d = 1
+    while d * d <= T:
+        if T % d == 0:
+            for c in (d, T // d):
+                if c % 8 == 0 and c <= 4096 and c > best and fits(c):
+                    best = c
+        d += 1
+    return best
 
 
 @jax.custom_vjp
@@ -700,8 +716,18 @@ _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 def fused_mlp_branch(x, ln_scale, ln_bias, w1, b1, w2, b2):
     """LN2 + fc1 + gelu + fc2 on ``x`` [B, H, W, C] (pre-residual output).
     Saves the HBM round-trips of the LN output and the 4C-wide fc1/gelu
-    intermediates (e.g. bf16[16,128,128,512] = 268 MB at swin_b stage 0)."""
+    intermediates (e.g. bf16[16,128,128,512] = 268 MB at swin_b stage 0).
+
+    Falls back to the same math under XLA when no kernel tile fits the
+    scoped-VMEM budget for this token count (see _pick_mlp_tile)."""
     B, H, W, C = x.shape
+    T = B * H * W
+    Ch = w1.shape[1]
+    if (_pick_mlp_tile(T, C, Ch, bwd=False) == 0
+            or _pick_mlp_tile(T, C, Ch, bwd=True) == 0):
+        y = _mlp_math(x.reshape(T, C), ln_scale, ln_bias, w1, b1, w2, b2,
+                      compute_dtype=x.dtype)
+        return y.reshape(B, H, W, C)
     y = _fused_mlp(x.reshape(B * H * W, C), ln_scale, ln_bias, w1, b1,
                    w2, b2)
     return y.reshape(B, H, W, C)
