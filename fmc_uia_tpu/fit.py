@@ -188,7 +188,14 @@ def fit(config_path: Optional[str] = None, config=None,
         init_distributed(config)  # no-op single-process
         mesh = mesh_from_config(config)  # None unless parallel.mesh is set
 
-    logger = TrainingLogger(config.output_dir, config.exp_name)
+    # --resume continues the checkpoint's OWN experiment dir (history,
+    # best_model, checkpoints stay together) instead of opening a fresh
+    # timestamped dir whose final best-model eval would come up empty
+    resume_found = ckpt_lib.latest_checkpoint(config.output_dir) \
+        if resume else None
+    logger = TrainingLogger(
+        config.output_dir, config.exp_name,
+        existing_dir=resume_found[0].parent if resume_found else None)
 
     train_engine, val_engine, registry = build_data_engines(config)
     # snapshot AFTER the dataset-derived task override so the experiment's
@@ -237,23 +244,22 @@ def fit(config_path: Optional[str] = None, config=None,
     best_val_score = -float("inf")
     best_epoch = 0
 
-    if resume:
-        found = ckpt_lib.latest_checkpoint(config.output_dir)
-        if found:
-            path, meta = found
-            trainer.state = ckpt_lib.restore_checkpoint(path, trainer.state)
-            start_epoch = meta["epoch"]
-            best_val_score = meta["best_score"]
-            best_epoch = start_epoch  # the restored best is <= this epoch
-            for _ in range(start_epoch):
-                trainer.scheduler.step()
-            # exact-order resume: the per-step model RNG already folds in
-            # the restored state.step; fast-forward the sampler RNG too so
-            # epoch N after resume yields the same batches as an unbroken
-            # run's epoch N
-            if train_engine.sampler is not None:
-                train_engine.sampler.advance_epochs(start_epoch)
-            print(f"Resumed from {path} at epoch {start_epoch}")
+    if resume_found:
+        path, meta = resume_found
+        trainer.state = ckpt_lib.restore_checkpoint(path, trainer.state)
+        start_epoch = meta["epoch"]
+        best_val_score = meta["best_score"]
+        best_epoch = start_epoch  # the restored best is <= this epoch
+        logger.truncate_history(start_epoch)  # redo interrupted epochs
+        for _ in range(start_epoch):
+            trainer.scheduler.step()
+        # exact-order resume: the per-step model RNG already folds in
+        # the restored state.step; fast-forward the sampler RNG too so
+        # epoch N after resume yields the same batches as an unbroken
+        # run's epoch N
+        if train_engine.sampler is not None:
+            train_engine.sampler.advance_epochs(start_epoch)
+        print(f"Resumed from {path} at epoch {start_epoch}")
 
     print_freq = int(config.get("training.print_freq", 50) or 0)
     save_ckpts = bool(config.get("experiment.save_checkpoints", True))

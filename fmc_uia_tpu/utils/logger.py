@@ -28,12 +28,31 @@ import yaml
 
 
 class TrainingLogger:
-    def __init__(self, log_dir, experiment_name: str):
-        timestamp = time.strftime("%Y%m%d_%H%M%S")
-        self.experiment_dir = Path(log_dir) / f"{experiment_name}_{timestamp}"
+    def __init__(self, log_dir, experiment_name: str, existing_dir=None):
+        """``existing_dir``: attach to a previous run's experiment dir
+        instead of creating a fresh timestamped one — used by --resume so
+        history/best_model/checkpoints stay in one place (the reference has
+        no resume at all, SURVEY §5; continuing the dir is the natural
+        extension of its per-run-dir contract)."""
+        if existing_dir is not None:
+            self.experiment_dir = Path(existing_dir)
+        else:
+            timestamp = time.strftime("%Y%m%d_%H%M%S")
+            self.experiment_dir = (Path(log_dir)
+                                   / f"{experiment_name}_{timestamp}")
         self.experiment_dir.mkdir(parents=True, exist_ok=True)
         self.experiment_name = experiment_name
         self.history: List[Dict] = []
+        hist_file = self.experiment_dir / "training_history.json"
+        if existing_dir is not None and hist_file.exists():
+            with open(hist_file) as f:
+                self.history = json.load(f)
+
+    def truncate_history(self, max_epoch: int) -> None:
+        """Drop entries beyond ``max_epoch`` (1-based) — resume redoes any
+        interrupted epoch, so its stale entry must not survive."""
+        self.history = [e for e in self.history
+                        if int(e.get("epoch", 0)) <= max_epoch]
 
     def get_experiment_dir(self) -> Path:
         return self.experiment_dir

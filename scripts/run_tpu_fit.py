@@ -154,12 +154,20 @@ def main():
         assert sent, "epoch 2 never started (check EPOCHS>=2)"
         assert "Preempted during epoch" in out, \
             "SIGTERM did not produce a preemption checkpoint"
+        dirs_before = set(Path(OUT).glob("tpu_fit_proof_*"))
         print("\n>>> phase 2: --resume to completion\n", flush=True)
         rc, out, _ = run_fit(cfg_path, resume=True,
                              sigterm_after_epoch2=False)
         assert rc == 0, f"resume fit exited rc={rc}"
         assert "Resumed from" in out, "resume did not restore a checkpoint"
+        # resume must continue the SAME experiment dir (history/best_model/
+        # checkpoints stay together), not open a fresh timestamped one
+        dirs_after = set(Path(OUT).glob("tpu_fit_proof_*"))
+        assert dirs_after == dirs_before, \
+            f"--resume created a new experiment dir: {dirs_after - dirs_before}"
     assert "Training complete" in out, "fit did not reach completion"
+    assert "Best-model evaluation skipped" not in out, \
+        "final best-model evaluation could not find its checkpoint"
 
     # artifact assertions (reference logger artifact set, SURVEY §5)
     exp_dirs = sorted(Path(OUT).glob("tpu_fit_proof_*"),

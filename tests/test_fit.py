@@ -117,7 +117,24 @@ def test_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
     assert found[1]["epoch"] == 0  # epoch 0 was interrupted, redo it
 
     monkeypatch.undo()  # real guard for the resumed run
+    exp_dirs_before = sorted(
+        p for p in (tmp_path / "out").iterdir() if p.is_dir())
     result2 = fit(config=Config(config_dict=copy.deepcopy(cfg_dict)),
                   resume=True)
     assert "preempted" not in result2
     assert result2["best_epoch"] >= 1
+
+    # --resume continues the SAME experiment dir (no new timestamped dir);
+    # history, best_model and checkpoints end up together, so the final
+    # best-model evaluation can find its weights
+    exp_dirs_after = sorted(
+        p for p in (tmp_path / "out").iterdir() if p.is_dir())
+    assert exp_dirs_after == exp_dirs_before
+    exp = exp_dirs_after[0]
+    assert (exp / "best_model").exists()
+    import json as _json
+
+    hist = _json.load(open(exp / "training_history.json"))
+    epochs = [e["epoch"] for e in hist]
+    assert epochs == sorted(set(epochs))  # no duplicate redone epochs
+    assert epochs[-1] == cfg_dict["training"]["num_epochs"]

@@ -45,13 +45,15 @@ def test_fit_resume_continues_from_checkpoint(tmp_path):
     r1 = fit(config=_cfg(root, out))
     assert (Path(r1["experiment_dir"]) / "checkpoint_epoch_1").exists()
 
-    # resume with more epochs: should skip epoch 1 and run only epoch 2
+    # resume with more epochs: continues run 1's experiment dir, keeping
+    # its epoch-1 history and appending only the new epoch 2
     cfg2 = _cfg(root, out, training={"num_epochs": 2})
     r2 = fit(config=cfg2, resume=True)
+    assert r2["experiment_dir"] == r1["experiment_dir"]
     hist = json.loads(
         (Path(r2["experiment_dir"]) / "training_history.json").read_text())
     epochs_run = [e["epoch"] for e in hist]
-    assert epochs_run == [2], epochs_run  # only the resumed epoch logged
+    assert epochs_run == [1, 2], epochs_run
 
 
 def test_fit_with_adaptive_norm_input_prep(tmp_path):
