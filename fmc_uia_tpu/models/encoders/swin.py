@@ -409,10 +409,36 @@ class SwinBlockPair(nn.Module):
         return x, None
 
 
+class _DenseKernel(nn.Module):
+    """nn.Dense-compatible {kernel} declaration (no application)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_features, self.out_features), jnp.float32)
+
+
 class PatchMerging(nn.Module):
-    """2x2 neighborhood concat -> LN -> Linear(4C -> 2C)."""
+    """2x2 neighborhood concat -> LN -> Linear(4C -> 2C).
+
+    Default formulation (``sliced=True``): four contiguous strided slices
+    x[:, di::2, dj::2, :] stand in for the concat; LN statistics combine
+    the four partial sums, and the 4C->2C reduction runs as four C->2C
+    matmuls against slices of the SAME [4C, 2C] kernel, accumulated in
+    f32. Mathematically identical to concat->LN->Dense with an identical
+    param tree ({norm/{scale,bias}, reduction/kernel}) — but XLA never
+    sees the 6D reshape/transpose, which the r3 op dump showed being
+    materialized as f32 copies fwd AND bwd (~5 ms/step at merge1,
+    B=24 512^2). The transpose was also what forced the TP
+    with_sharding_constraint workarounds (MULTICHIP_r02 involuntary
+    rematerialization warnings).
+    """
 
     ln_bf16: bool = False
+    sliced: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -421,12 +447,43 @@ class PatchMerging(nn.Module):
         if H % 2 or W % 2:
             x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
             H, W = x.shape[1], x.shape[2]
-        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
-        x = nn.LayerNorm(dtype=self.dtype if self.ln_bf16 else jnp.float32,
-                         name="norm")(x)
-        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
-                        name="reduction")(x)
+
+        if not self.sliced:
+            x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, H // 2, W // 2, 4 * C)
+            x = nn.LayerNorm(
+                dtype=self.dtype if self.ln_bf16 else jnp.float32,
+                name="norm")(x)
+            return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                            name="reduction")(x)
+
+        scale, bias = _LNParams(4 * C, name="norm")()
+        kernel = _DenseKernel(4 * C, 2 * C, name="reduction")()
+        f32 = jnp.float32
+        # concat order of the reshape/transpose formulation: k = 2*di + dj
+        xs = [x[:, di::2, dj::2, :] for di in (0, 1) for dj in (0, 1)]
+        # f32 stats over the virtual 4C concat (converts fuse into the
+        # reductions; no f32 map is materialized)
+        s1 = sum(jnp.sum(xk.astype(f32), axis=-1, keepdims=True)
+                 for xk in xs)
+        s2 = sum(jnp.sum(jnp.square(xk.astype(f32)), axis=-1, keepdims=True)
+                 for xk in xs)
+        n = 4 * C
+        mu = s1 / n
+        var = s2 / n - mu * mu
+        rstd = jax.lax.rsqrt(var + 1e-6)  # nn.LayerNorm default epsilon
+        ln_dt = self.dtype if self.ln_bf16 else f32
+        y = None
+        for k, xk in enumerate(xs):
+            sk = scale[k * C:(k + 1) * C].astype(ln_dt)
+            bk = bias[k * C:(k + 1) * C].astype(ln_dt)
+            xh = (xk.astype(ln_dt) - mu.astype(ln_dt)) * rstd.astype(ln_dt)
+            xn = (xh * sk + bk).astype(self.dtype)
+            wk = kernel[k * C:(k + 1) * C].astype(self.dtype)
+            yk = jnp.dot(xn, wk, preferred_element_type=f32)
+            y = yk if y is None else y + yk
+        return y.astype(self.dtype)
 
 
 class SwinEncoder(nn.Module):
@@ -474,7 +531,13 @@ class SwinEncoder(nn.Module):
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
                     dtype=self.dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x)
+        # honors ln_bf16 like the block/merge LNs (r2-6): stats stay f32
+        # inside flax; only the materialized [B,H/4,W/4,C] output (201 MB
+        # f32 at B=24 512^2) halves. The r3 op dump showed this was the one
+        # LN still emitting f32, dragging f32 converts/copies through the
+        # stage-0 entry (convert.31/32 + stride-4 f32 copies).
+        x = nn.LayerNorm(dtype=self.dtype if self.ln_bf16 else jnp.float32,
+                         name="patch_norm")(x)
 
         total_blocks = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)

@@ -125,7 +125,14 @@ class BankedDense(nn.Module):
 
 
 class BankedGroupNorm(nn.Module):
-    """Per-task GroupNorm bank: shared normalization, banked scale/shift."""
+    """Per-task GroupNorm bank: shared normalization, banked scale/shift.
+
+    Statistics are always reduced in f32; the elementwise normalize+affine
+    runs in the input dtype (flax nn.GroupNorm(dtype=...) semantics). The
+    old all-f32 elementwise path materialized f32 [B,H,W,C] maps fwd AND
+    bwd — the r3 op dump showed ~7.5 ms/step of f32 stride-4 copies in the
+    detection step from exactly these (4 GNs in the CenterNet head bank).
+    """
 
     num_banks: int
     num_groups: int
@@ -139,18 +146,21 @@ class BankedGroupNorm(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.num_banks, C), jnp.float32
         )
-        orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        B, H, W, _ = xf.shape
+        dt = x.dtype
+        B, H, W, _ = x.shape
         g = self.num_groups
-        xg = xf.reshape(B, H, W, g, C // g)
-        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
-        var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
-        xf = xg.reshape(B, H, W, C)
-        s = jnp.take(scale, idx, axis=0)
-        b = jnp.take(bias, idx, axis=0)
-        return (xf * s + b).astype(orig_dtype)
+        xg = x.reshape(B, H, W, g, C // g)
+        # f32 stats from the (possibly bf16) input: convert fuses into the
+        # reduction, no f32 map is materialized
+        mean = jnp.mean(xg.astype(jnp.float32), axis=(1, 2, 4),
+                        keepdims=True)
+        var = jnp.var(xg.astype(jnp.float32), axis=(1, 2, 4), keepdims=True)
+        rs = jax.lax.rsqrt(var + 1e-5)
+        xg = (xg - mean.astype(dt)) * rs.astype(dt)
+        xn = xg.reshape(B, H, W, C)
+        s = jnp.take(scale, idx, axis=0).astype(dt)
+        b = jnp.take(bias, idx, axis=0).astype(dt)
+        return xn * s + b
 
 
 class BankedMLP(nn.Module):

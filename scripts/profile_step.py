@@ -58,12 +58,14 @@ def categorize(name):
     n = name.lower()
     if "custom-call" in n or "pallas" in n or "tpu_custom_call" in n:
         return "pallas-custom-call"
+    if "copy" in n:  # before fusion/conv: %copy_convert_fusion is a copy,
+        return "copy"  # and "convert" would false-match "conv"
     if n.startswith("fusion") or ".fusion" in n or "fused" in n:
         return "fusion"
-    if "convolution" in n or "conv" in n:
+    if "convolution" in n:
         return "convolution"
-    if "copy" in n:
-        return "copy"
+    if n.startswith("convert") or ".convert" in n:
+        return "layout"
     if "dynamic-update-slice" in n or "dynamic-slice" in n or "slice" in n:
         return "slice/dus"
     if "all-reduce" in n or "all-gather" in n or "reduce-scatter" in n:

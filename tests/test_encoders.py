@@ -326,3 +326,31 @@ def test_fused_mlp_bwd_analytic_matches_vjp():
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
         assert np.max(np.abs(a - b)) / max(np.abs(a).max(), 1e-6) < 1e-5, i
+
+
+def test_patch_merging_sliced_matches_transpose_formulation():
+    """The sliced PatchMerging (4 strided slices + 4 partial matmuls) is
+    numerically equivalent to concat->LN->Dense on the SAME param tree,
+    in f32 exactly-ish and in bf16 within drift tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fmc_uia_tpu.models.encoders.swin import PatchMerging
+
+    rs = np.random.RandomState(0)
+    x32 = jnp.asarray(rs.randn(2, 16, 16, 32), jnp.float32)
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 0.05)):
+        x = x32.astype(dtype)
+        ref = PatchMerging(sliced=False, ln_bf16=dtype == jnp.bfloat16,
+                           dtype=dtype)
+        new = PatchMerging(sliced=True, ln_bf16=dtype == jnp.bfloat16,
+                           dtype=dtype)
+        variables = ref.init(jax.random.PRNGKey(0), x)
+        # identical param tree: the same variables apply to both
+        a = np.asarray(ref.apply(variables, x), np.float32)
+        b = np.asarray(new.apply(variables, x), np.float32)
+        denom = np.maximum(np.abs(a), 1e-3)
+        err = np.abs(a - b) / denom
+        assert np.median(err) < tol, (dtype, np.median(err))
+        assert a.shape == b.shape == (2, 8, 8, 64)
