@@ -220,15 +220,23 @@ class DropPath(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool,
-                 rate=None) -> jax.Array:
+                 rate=None, return_mask: bool = False):
+        """Apply stochastic depth to ``x`` — or, with ``return_mask``,
+        return the per-sample scale factor [B,1,...,1] (1/keep kept, 0
+        dropped) instead of applying it, for callers that fold the
+        multiply into a fused kernel. Returns None when deterministic /
+        rate 0 (no mask needed). The RNG consumption and bernoulli draw
+        are identical in both modes."""
         if rate is None:
             rate = self.rate
         if deterministic or (isinstance(rate, float) and rate == 0.0):
-            return x
+            return None if return_mask else x
         key = self.make_rng("dropout")
         keep = 1.0 - jnp.asarray(rate, jnp.float32)
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(key, keep, shape)
+        if return_mask:
+            return jnp.where(mask, 1.0 / keep, 0.0).astype(x.dtype)
         return jnp.where(mask, x / keep.astype(x.dtype), 0.0).astype(x.dtype)
 
 
@@ -302,11 +310,17 @@ class SwinBlock(nn.Module):
             # fused Pallas branch: LN applied INSIDE the kernel, so pad/roll
             # the raw input. LN over all-zero pad rows yields `bias` there,
             # but pad keys are masked and pad-query outputs are cropped —
-            # semantics match the XLA path on the kept region.
+            # semantics match the XLA path on the kept region. The residual
+            # add and the per-sample drop-path scale are folded into the
+            # kernel too (the add commutes with the roll, so rolling back
+            # the returned sum is exact); the mask comes from the SAME
+            # DropPath module/rng stream the unfused path consumes.
             from fmc_uia_tpu.ops.swin_block_pallas import (
                 fused_attention_branch,
             )
 
+            dp1 = DropPath(name="drop_path1")(
+                x, deterministic=not train, rate=dp_rate, return_mask=True)
             y = x.astype(self.dtype)
             if pad:
                 y = jnp.pad(y, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
@@ -322,7 +336,12 @@ class SwinBlock(nn.Module):
                                 self.num_heads).transpose(2, 0, 1)
             y = fused_attention_branch(y, ln_scale, ln_bias, wqkv, bqkv,
                                        wproj, bproj, bias, attn_mask,
-                                       self.num_heads)
+                                       self.num_heads, dp_scale=dp1)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            if pad:
+                y = y[:, :H, :W, :]
+            x = y  # residual already inside the kernel
         else:
             y = nn.LayerNorm(dtype=self.ln_dtype, name="norm1")(x)
             if pad:
@@ -335,13 +354,12 @@ class SwinBlock(nn.Module):
                 softmax_bf16=self.softmax_bf16,
                 dtype=self.dtype, name="attn")(windows, attn_mask)
             y = window_unpartition(windows, ws, hp, wp)
-
-        if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        if pad:
-            y = y[:, :H, :W, :]
-        x = shortcut + DropPath(name="drop_path1")(
-            y, deterministic=not train, rate=dp_rate)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            if pad:
+                y = y[:, :H, :W, :]
+            x = shortcut + DropPath(name="drop_path1")(
+                y, deterministic=not train, rate=dp_rate)
 
         # fused MLP only pays where the branch is activation-bound: at
         # C<=256 (stages 0/1) the kernel beats XLA fwd+bwd by 30-43%; at
@@ -356,14 +374,16 @@ class SwinBlock(nn.Module):
             ln2_s, ln2_b = _LNParams(C, name="norm2")()
             w1, b1 = _DenseParams(hidden, name="mlp_fc1")(C)
             w2, b2 = _DenseParams(C, name="mlp_fc2")(hidden)
-            y = fused_mlp_branch(x.astype(self.dtype), ln2_s, ln2_b,
-                                 w1, b1, w2, b2)
-        else:
-            y = nn.LayerNorm(dtype=self.ln_dtype, name="norm2")(x)
-            y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
-                         name="mlp_fc1")(y)
-            y = nn.gelu(y)
-            y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
+            dp2 = DropPath(name="drop_path2")(
+                x, deterministic=not train, rate=dp_rate, return_mask=True)
+            # residual + drop-path folded into the kernel
+            return fused_mlp_branch(x.astype(self.dtype), ln2_s, ln2_b,
+                                    w1, b1, w2, b2, dp_scale=dp2)
+        y = nn.LayerNorm(dtype=self.ln_dtype, name="norm2")(x)
+        y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
         return x + DropPath(name="drop_path2")(
             y, deterministic=not train, rate=dp_rate)
 

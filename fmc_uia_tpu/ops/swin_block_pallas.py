@@ -58,7 +58,7 @@ def _interpret() -> bool:
 
 
 def _branch_math(x_tile, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                 bias_hnn, mask_gnn, *, num_heads: int, ws: int,
+                 bias_hnn, mask_gnn, dp, *, num_heads: int, ws: int,
                  compute_dtype):
     """The fused branch on one [R*ws, Wp, C] tile (R window-rows per
     program) — pure jnp, used by both the forward kernel and (via jax.vjp)
@@ -124,12 +124,18 @@ def _branch_math(x_tile, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     y = (y + bproj.astype(jnp.float32)).astype(compute_dtype)
     # window unpartition back to the tile layout
     y = y.reshape(R, Wp // ws, ws, ws, C).transpose(0, 2, 1, 3, 4)
-    return y.reshape(Rws, Wp, C)
+    y = y.reshape(Rws, Wp, C)
+    # residual + per-sample drop-path scale folded in (r3): the block's
+    # shortcut-add and stochastic-depth select used to be separate XLA
+    # full-map passes (~2.8 ms/step at B=24 512^2 across the stages); the
+    # kernel already holds x, so the add is free here. dp is the
+    # pre-scaled per-sample factor (1/keep for kept samples, 0 dropped).
+    return x_tile + dp.astype(compute_dtype) * y
 
 
 def _fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                bproj_ref, bias_ref, mask_ref, out_ref, *, num_heads, ws,
-                compute_dtype, has_mask):
+                bproj_ref, bias_ref, mask_ref, dp_ref, out_ref, *,
+                num_heads, ws, compute_dtype, has_mask):
     mask = None
     if has_mask:  # [R, Gcol, N, N] -> [G, N, N] in window order
         m = mask_ref[:]
@@ -137,11 +143,12 @@ def _fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     out_ref[0] = _branch_math(
         x_ref[0], lns_ref[0], lnb_ref[0], wqkv_ref[:], bqkv_ref[0],
         wproj_ref[:], bproj_ref[0], bias_ref[:], mask,
+        dp_ref[pl.program_id(0), 0],
         num_heads=num_heads, ws=ws, compute_dtype=compute_dtype)
 
 
 def _branch_pullback(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias_hnn,
-                     mask_gnn, dy_tile, *, num_heads: int, ws: int,
+                     mask_gnn, dp, dy_tile, *, num_heads: int, ws: int,
                      compute_dtype):
     """Hand-written pullback of ``_branch_math`` on one tile.
 
@@ -206,8 +213,10 @@ def _branch_pullback(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias_hnn,
     o = o.reshape(G * N, C)
 
     # --- pullback ---
+    # out = x + dp * branch(x): the branch side sees dp-scaled cotangents;
+    # the identity path adds dy_tile to dx at the end.
     dyw = dy_tile.reshape(R, ws, Wp // ws, ws, C).transpose(0, 2, 1, 3, 4)
-    dyf = dyw.reshape(G * N, C).astype(compute_dtype)
+    dyf = (dyw.reshape(G * N, C) * dp).astype(compute_dtype)
     dbproj = jnp.sum(dyf.astype(f32), axis=0)
     dwproj = jax.lax.dot_general(o, dyf, (((0,), (0,)), ((), ())),
                                  preferred_element_type=f32)
@@ -244,6 +253,7 @@ def _branch_pullback(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias_hnn,
            - xh * jnp.mean(dxh * xh, axis=-1, keepdims=True)) * rstd
     dxw = dxf.astype(x_tile.dtype).reshape(R, Wp // ws, ws, ws, C)
     dx_tile = dxw.transpose(0, 2, 1, 3, 4).reshape(Rws, Wp, C)
+    dx_tile = dx_tile + dy_tile.astype(x_tile.dtype)  # identity path
     return dx_tile, dg, dbeta, dwqkv, dbqkv, dwproj, dbproj, dbias
 
 
@@ -254,7 +264,7 @@ def _bwd_mode() -> str:
 
 
 def _bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                bproj_ref, bias_ref, mask_ref, dy_ref,
+                bproj_ref, bias_ref, mask_ref, dp_ref, dy_ref,
                 dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                 dwproj_ref, dbproj_ref, dbias_ref, *, num_heads, ws,
                 compute_dtype, has_mask, mode):
@@ -262,17 +272,18 @@ def _bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     if has_mask:
         m = mask_ref[:]
         mask = m.reshape(-1, m.shape[-2], m.shape[-1])
+    dp = dp_ref[pl.program_id(0), 0]
 
     if mode == "analytic":
         (dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj,
          dbias) = _branch_pullback(
             x_ref[0], lns_ref[0], lnb_ref[0], wqkv_ref[:], bqkv_ref[0],
-            wproj_ref[:], bproj_ref[0], bias_ref[:], mask, dy_ref[0],
+            wproj_ref[:], bproj_ref[0], bias_ref[:], mask, dp, dy_ref[0],
             num_heads=num_heads, ws=ws, compute_dtype=compute_dtype)
     else:
         def f(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj, bias):
             return _branch_math(x_tile, lns, lnb, wqkv, bqkv, wproj, bproj,
-                                bias, mask, num_heads=num_heads, ws=ws,
+                                bias, mask, dp, num_heads=num_heads, ws=ws,
                                 compute_dtype=compute_dtype)
 
         _, pull = jax.vjp(f, x_ref[0], lns_ref[0], lnb_ref[0], wqkv_ref[:],
@@ -348,18 +359,22 @@ def _specs(B, Hp, Wp, C, H, N, ws, has_mask, nrows, G, R):
     else:  # dummy scalar placeholder (never read)
         in_specs.append(pl.BlockSpec((1, 1), const,
                                      memory_space=pltpu.VMEM))
+    # per-sample drop-path scale [B, 1] — whole array in SMEM (a (1,1)
+    # VMEM block violates the (8,128) tile rule); kernels index it by
+    # pl.program_id(0)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     return grid, in_specs, x_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
 def _fused_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias_hnn,
-                  mask_rgnn, num_heads):
+                  mask_rgnn, dp, num_heads):
     return _fused_branch_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
-                                  bproj, bias_hnn, mask_rgnn, num_heads)
+                                  bproj, bias_hnn, mask_rgnn, dp, num_heads)
 
 
 def _fused_branch_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                           bias_hnn, mask_rgnn, num_heads):
+                           bias_hnn, mask_rgnn, dp, num_heads):
     B, Hp, Wp, C = x.shape
     H = num_heads
     N = bias_hnn.shape[-1]
@@ -383,20 +398,20 @@ def _fused_branch_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=_ATTN_VMEM_LIMIT),
     )(x, ln_scale[None], ln_bias[None], wqkv, bqkv[None], wproj,
-      bproj[None], bias_hnn, mask_arg)
+      bproj[None], bias_hnn, mask_arg, dp)
 
 
 def _fused_branch_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                      bias_hnn, mask_rgnn, num_heads):
+                      bias_hnn, mask_rgnn, dp, num_heads):
     y = _fused_branch_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
-                               bproj, bias_hnn, mask_rgnn, num_heads)
+                               bproj, bias_hnn, mask_rgnn, dp, num_heads)
     return y, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias_hnn,
-               mask_rgnn)
+               mask_rgnn, dp)
 
 
 def _fused_branch_bwd(num_heads, res, dy):
     (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias_hnn,
-     mask_rgnn) = res
+     mask_rgnn, dp) = res
     B, Hp, Wp, C = x.shape
     H = num_heads
     N = bias_hnn.shape[-1]
@@ -444,7 +459,7 @@ def _fused_branch_bwd(num_heads, res, dy):
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=_ATTN_VMEM_LIMIT),
     )(x, ln_scale[None], ln_bias[None], wqkv, bqkv[None], wproj,
-      bproj[None], bias_hnn, mask_arg, dy)
+      bproj[None], bias_hnn, mask_arg, dp, dy)
     dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias = outs
     dmask = None if mask_rgnn is None else jnp.zeros_like(mask_rgnn)
     return (dx,
@@ -455,7 +470,8 @@ def _fused_branch_bwd(num_heads, res, dy):
             dwproj.astype(wproj.dtype),
             dbproj[0].astype(bproj.dtype),
             dbias.astype(bias_hnn.dtype),
-            dmask)
+            dmask,
+            jnp.zeros_like(dp))  # random mask: not differentiated
 
 
 _fused_branch.defvjp(_fused_branch_fwd, _fused_branch_bwd)
@@ -463,12 +479,17 @@ _fused_branch.defvjp(_fused_branch_fwd, _fused_branch_bwd)
 
 def fused_attention_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                            bias_hnn, mask_gnn: Optional[jax.Array],
-                           num_heads: int):
-    """LN1 + windowed MHSA + proj on ``x`` [B, Hp, Wp, C] (pre-roll applied
-    by the caller). ``bias_hnn``: [H, N, N] expanded rel-pos bias (gradient
-    to the table flows through the outside gather). ``mask_gnn``: [nW, N, N]
-    additive shift/pad mask or None; reshaped per window row internally.
-    Returns the branch output (pre-residual), same shape/dtype as ``x``.
+                           num_heads: int,
+                           dp_scale: Optional[jax.Array] = None):
+    """x + dp*(LN1 + windowed MHSA + proj) on ``x`` [B, Hp, Wp, C]
+    (pre-roll applied by the caller; the residual add commutes with the
+    roll, so the caller's roll-back/crop of the returned sum is exact).
+    ``bias_hnn``: [H, N, N] expanded rel-pos bias (gradient to the table
+    flows through the outside gather). ``mask_gnn``: [nW, N, N] additive
+    shift/pad mask or None; reshaped per window row internally.
+    ``dp_scale``: per-sample drop-path factor [B] or [B,1] (1/keep for
+    kept samples, 0 for dropped), or None for no stochastic depth.
+    Returns the BLOCK-half output (residual included).
     """
     B, Hp, Wp, C = x.shape
     N = bias_hnn.shape[-1]
@@ -483,15 +504,23 @@ def fused_attention_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         mask_gnn = jnp.broadcast_to(mask_gnn,
                                     (mask_gnn.shape[0], N, N))
         mask_rgnn = mask_gnn.reshape(nrows, G, N, N)
+    # f32: Mosaic only supports 32-bit scalar vector.extracts (dp_ref[0,0])
+    if dp_scale is None:
+        dp = jnp.ones((B, 1), jnp.float32)
+    else:
+        dp = dp_scale.reshape(B, 1).astype(jnp.float32)
     return _fused_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                         bias_hnn, mask_rgnn, num_heads)
+                         bias_hnn, mask_rgnn, dp, num_heads)
 
 
 # ---------------------------------------------------------------------------
 # Fused MLP branch: LN2 -> fc1 -> gelu -> fc2 (pre-residual)
 # ---------------------------------------------------------------------------
-def _mlp_math(x_tile, ln_scale, ln_bias, w1, b1, w2, b2, *, compute_dtype):
-    """[T, C] tile -> [T, C]; LN stats f32, matmul accum f32."""
+def _mlp_math(x_tile, ln_scale, ln_bias, w1, b1, w2, b2, dp, *,
+              compute_dtype):
+    """x + dp*(LN2 + fc1 + gelu + fc2) on a [T, C] tile; LN stats f32,
+    matmul accum f32. ``dp``: drop-path scale, scalar or [T, 1]
+    (residual + stochastic depth folded in, see _branch_math)."""
     T, C = x_tile.shape
     xf = x_tile.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -504,22 +533,26 @@ def _mlp_math(x_tile, ln_scale, ln_bias, w1, b1, w2, b2, *, compute_dtype):
     h = jax.nn.gelu(h + b1.astype(jnp.float32)).astype(compute_dtype)
     y = jnp.dot(h, w2.astype(compute_dtype),
                 preferred_element_type=jnp.float32)
-    return (y + b2.astype(jnp.float32)).astype(compute_dtype)
+    y = (y + b2.astype(jnp.float32)).astype(compute_dtype)
+    return x_tile + dp.astype(compute_dtype) * y
 
 
 def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    out_ref, *, compute_dtype):
+                    dp_ref, out_ref, *, compute_dtype, tt, hw):
+    dp = dp_ref[(pl.program_id(0) * tt) // hw, 0]
     out_ref[:] = _mlp_math(x_ref[:], lns_ref[0], lnb_ref[0], w1_ref[:],
-                           b1_ref[0], w2_ref[:], b2_ref[0],
+                           b1_ref[0], w2_ref[:], b2_ref[0], dp,
                            compute_dtype=compute_dtype)
 
 
-def _mlp_pullback(x_tile, lns, lnb, w1, b1, w2, b2, dy_tile, *,
+def _mlp_pullback(x_tile, lns, lnb, w1, b1, w2, b2, dp, dy_tile, *,
                   compute_dtype):
     """Hand-written pullback of ``_mlp_math``: every matmul a bf16-operand
     / f32-accumulate dot_general (the jax.vjp pullback kept f32 cotangent
     operands — half-rate MXU; see _branch_pullback). The gelu derivative
-    is taken with an elementwise jax.vjp (exact, VPU-cheap)."""
+    is taken with an elementwise jax.vjp (exact, VPU-cheap).
+    out = x + dp*branch(x): the branch sees dp-scaled cotangents; the
+    identity path adds dy at the end."""
     f32 = jnp.float32
     xf = x_tile.astype(f32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -532,7 +565,7 @@ def _mlp_pullback(x_tile, lns, lnb, w1, b1, w2, b2, dy_tile, *,
     g, gelu_vjp = jax.vjp(jax.nn.gelu, h1)
     gc = g.astype(compute_dtype)
 
-    dyc = dy_tile.astype(compute_dtype)
+    dyc = (dy_tile * dp).astype(compute_dtype)
     db2 = jnp.sum(dyc.astype(f32), axis=0)
     dw2 = jax.lax.dot_general(gc, dyc, (((0,), (0,)), ((), ())),
                               preferred_element_type=f32)
@@ -552,19 +585,23 @@ def _mlp_pullback(x_tile, lns, lnb, w1, b1, w2, b2, dy_tile, *,
     dxh = dxn * lns.astype(f32)
     dxf = (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
            - xh * jnp.mean(dxh * xh, axis=-1, keepdims=True)) * rstd
-    return (dxf.astype(x_tile.dtype), dg_ln, dbeta, dw1, db1, dw2, db2)
+    dx = dxf.astype(x_tile.dtype) + dy_tile.astype(x_tile.dtype)
+    return (dx, dg_ln, dbeta, dw1, db1, dw2, db2)
 
 
 def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    dy_ref, dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref,
-                    dw2_ref, db2_ref, *, compute_dtype, mode):
+                    dp_ref, dy_ref, dx_ref, dlns_ref, dlnb_ref, dw1_ref,
+                    db1_ref, dw2_ref, db2_ref, *, compute_dtype, mode,
+                    tt, hw):
+    dp = dp_ref[(pl.program_id(0) * tt) // hw, 0]
     if mode == "analytic":
         dx, dlns, dlnb, dw1, db1, dw2, db2 = _mlp_pullback(
             x_ref[:], lns_ref[0], lnb_ref[0], w1_ref[:], b1_ref[0],
-            w2_ref[:], b2_ref[0], dy_ref[:], compute_dtype=compute_dtype)
+            w2_ref[:], b2_ref[0], dp, dy_ref[:],
+            compute_dtype=compute_dtype)
     else:
         def f(x_tile, lns, lnb, w1, b1, w2, b2):
-            return _mlp_math(x_tile, lns, lnb, w1, b1, w2, b2,
+            return _mlp_math(x_tile, lns, lnb, w1, b1, w2, b2, dp,
                              compute_dtype=compute_dtype)
 
         _, pull = jax.vjp(f, x_ref[:], lns_ref[0], lnb_ref[0], w1_ref[:],
@@ -592,7 +629,7 @@ def _mlp_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         db2_ref[0] += db2.astype(jnp.float32)
 
 
-def _mlp_tile(TT: int, C: int, Ch: int):
+def _mlp_tile(TT: int, C: int, Ch: int, hw: int):
     const = lambda i: (0, 0)  # noqa: E731
     x_spec = pl.BlockSpec((TT, C), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -604,6 +641,10 @@ def _mlp_tile(TT: int, C: int, Ch: int):
         pl.BlockSpec((1, Ch), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((Ch, C), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        # per-sample drop-path scale [B,1], whole array in SMEM; the kernel
+        # derives the sample as (program_id * TT) // hw — the caller
+        # guarantees hw % TT == 0 so a tile never spans samples.
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     return x_spec, in_specs, const
 
@@ -645,37 +686,39 @@ def _pick_mlp_tile(T: int, C: int, Ch: int, *, bwd: bool) -> int:
     return best
 
 
-@jax.custom_vjp
-def _fused_mlp(x2d, ln_scale, ln_bias, w1, b1, w2, b2):
-    return _fused_mlp_fwd_impl(x2d, ln_scale, ln_bias, w1, b1, w2, b2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _fused_mlp(x2d, ln_scale, ln_bias, w1, b1, w2, b2, dp, hw):
+    return _fused_mlp_fwd_impl(x2d, ln_scale, ln_bias, w1, b1, w2, b2,
+                               dp, hw)
 
 
-def _fused_mlp_fwd_impl(x2d, ln_scale, ln_bias, w1, b1, w2, b2):
+def _fused_mlp_fwd_impl(x2d, ln_scale, ln_bias, w1, b1, w2, b2, dp, hw):
     T, C = x2d.shape
     Ch = w1.shape[1]
     TT = _pick_mlp_tile(T, C, Ch, bwd=False)
-    x_spec, in_specs, _ = _mlp_tile(TT, C, Ch)
-    kern = functools.partial(_mlp_fwd_kernel, compute_dtype=x2d.dtype)
+    x_spec, in_specs, _ = _mlp_tile(TT, C, Ch, hw)
+    kern = functools.partial(_mlp_fwd_kernel, compute_dtype=x2d.dtype,
+                             tt=TT, hw=hw)
     return pl.pallas_call(
         kern, grid=(T // TT,), in_specs=in_specs, out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=_MLP_VMEM_LIMIT),
-    )(x2d, ln_scale[None], ln_bias[None], w1, b1[None], w2, b2[None])
+    )(x2d, ln_scale[None], ln_bias[None], w1, b1[None], w2, b2[None], dp)
 
 
-def _fused_mlp_fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2):
-    y = _fused_mlp_fwd_impl(x2d, ln_scale, ln_bias, w1, b1, w2, b2)
-    return y, (x2d, ln_scale, ln_bias, w1, b1, w2, b2)
+def _fused_mlp_fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, dp, hw):
+    y = _fused_mlp_fwd_impl(x2d, ln_scale, ln_bias, w1, b1, w2, b2, dp, hw)
+    return y, (x2d, ln_scale, ln_bias, w1, b1, w2, b2, dp)
 
 
-def _fused_mlp_bwd(res, dy):
-    x2d, ln_scale, ln_bias, w1, b1, w2, b2 = res
+def _fused_mlp_bwd(hw, res, dy):
+    x2d, ln_scale, ln_bias, w1, b1, w2, b2, dp = res
     T, C = x2d.shape
     Ch = w1.shape[1]
     TT = _pick_mlp_tile(T, C, Ch, bwd=True)
-    x_spec, in_specs, const = _mlp_tile(TT, C, Ch)
+    x_spec, in_specs, const = _mlp_tile(TT, C, Ch, hw)
     in_specs = in_specs + [x_spec]
     out_specs = [
         x_spec,
@@ -696,38 +739,54 @@ def _fused_mlp_bwd(res, dy):
         jax.ShapeDtypeStruct((1, C), jnp.float32),
     ]
     kern = functools.partial(_mlp_bwd_kernel, compute_dtype=x2d.dtype,
-                             mode=_bwd_mode())
+                             mode=_bwd_mode(), tt=TT, hw=hw)
     outs = pl.pallas_call(
         kern, grid=(T // TT,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=_MLP_VMEM_LIMIT),
-    )(x2d, ln_scale[None], ln_bias[None], w1, b1[None], w2, b2[None], dy)
+    )(x2d, ln_scale[None], ln_bias[None], w1, b1[None], w2, b2[None], dp,
+      dy)
     dx, dlns, dlnb, dw1, db1, dw2, db2 = outs
     return (dx, dlns[0].astype(ln_scale.dtype), dlnb[0].astype(ln_bias.dtype),
             dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
-            dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype),
+            jnp.zeros_like(dp))  # random mask: not differentiated
 
 
 _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 
-def fused_mlp_branch(x, ln_scale, ln_bias, w1, b1, w2, b2):
-    """LN2 + fc1 + gelu + fc2 on ``x`` [B, H, W, C] (pre-residual output).
-    Saves the HBM round-trips of the LN output and the 4C-wide fc1/gelu
-    intermediates (e.g. bf16[16,128,128,512] = 268 MB at swin_b stage 0).
+def fused_mlp_branch(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                     dp_scale=None):
+    """x + dp*(LN2 + fc1 + gelu + fc2) on ``x`` [B, H, W, C] — residual
+    and per-sample drop-path scale folded in (``dp_scale`` [B] or [B,1];
+    None = no stochastic depth). Saves the HBM round-trips of the LN
+    output and the 4C-wide fc1/gelu intermediates (e.g.
+    bf16[16,128,128,512] = 268 MB at swin_b stage 0) plus the block's
+    separate residual/drop-path full-map pass.
 
     Falls back to the same math under XLA when no kernel tile fits the
-    scoped-VMEM budget for this token count (see _pick_mlp_tile)."""
+    scoped-VMEM budget for this token count, or when the tile does not
+    align with sample boundaries (the kernel reads ONE dp scalar per
+    tile, so hw % tile must be 0)."""
     B, H, W, C = x.shape
     T = B * H * W
+    hw = H * W
     Ch = w1.shape[1]
-    if (_pick_mlp_tile(T, C, Ch, bwd=False) == 0
-            or _pick_mlp_tile(T, C, Ch, bwd=True) == 0):
+    # f32: Mosaic only supports 32-bit scalar vector.extracts (dp_ref[0,0])
+    if dp_scale is None:
+        dp = jnp.ones((B, 1), jnp.float32)
+    else:
+        dp = dp_scale.reshape(B, 1).astype(jnp.float32)
+    ttf = _pick_mlp_tile(T, C, Ch, bwd=False)
+    ttb = _pick_mlp_tile(T, C, Ch, bwd=True)
+    if ttf == 0 or ttb == 0 or hw % ttf or hw % ttb:
+        dp_rows = jnp.broadcast_to(dp[:, None], (B, hw, 1)).reshape(T, 1)
         y = _mlp_math(x.reshape(T, C), ln_scale, ln_bias, w1, b1, w2, b2,
-                      compute_dtype=x.dtype)
+                      dp_rows, compute_dtype=x.dtype)
         return y.reshape(B, H, W, C)
     y = _fused_mlp(x.reshape(B * H * W, C), ln_scale, ln_bias, w1, b1,
-                   w2, b2)
+                   w2, b2, dp, hw)
     return y.reshape(B, H, W, C)

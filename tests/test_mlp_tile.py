@@ -53,6 +53,7 @@ def test_fallback_matches_mlp_math():
 
     y = sbp.fused_mlp_branch(x, lns, lnb, w1, b1, w2, b2)
     ref = sbp._mlp_math(x.reshape(-1, C), lns, lnb, w1, b1, w2, b2,
+                        jnp.ones((1, 1), x.dtype),
                         compute_dtype=x.dtype).reshape(x.shape)
     assert float(jnp.max(jnp.abs(y - ref))) == 0.0
 
