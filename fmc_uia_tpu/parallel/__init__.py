@@ -32,6 +32,7 @@ from fmc_uia_tpu.parallel.zero import (
 )
 from fmc_uia_tpu.parallel.activation import (
     activation_mesh,
+    activation_mesh_scope,
     set_activation_mesh,
     shard_activation,
     shard_batch_activation,
@@ -39,6 +40,7 @@ from fmc_uia_tpu.parallel.activation import (
 
 __all__ = [
     "activation_mesh",
+    "activation_mesh_scope",
     "set_activation_mesh",
     "shard_activation",
     "shard_batch_activation",

