@@ -659,6 +659,11 @@ _SWIN_VARIANTS = {
     # test-size variant
     "swin_nano": dict(embed_dim=32, depths=(1, 1, 1, 1),
                       num_heads=(2, 2, 4, 4)),
+    # swin_t-shaped test variant: even per-stage depths so the scanned
+    # SwinBlockPair path engages — the dryrun/mesh tests exercise the same
+    # scan+fused-kernel program structure the flagship swin_b bench runs.
+    "swin_micro": dict(embed_dim=32, depths=(2, 2, 2, 2),
+                       num_heads=(2, 4, 8, 16)),
 }
 
 

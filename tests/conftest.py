@@ -55,7 +55,7 @@ SLOW_FILES = {
     "test_multichip.py", "test_tensor_parallel.py",
     "test_pipeline_parallel.py", "test_expert_parallel.py",
     "test_zero.py", "test_distributed.py", "test_round2_fixes.py",
-    "test_activation_mesh_scope.py",
+    "test_activation_mesh_scope.py", "test_fused_mesh_parity.py",
 }
 
 # `pytest -m mid` — the ~10-minute mesh smoke between the fast tier and the
@@ -66,6 +66,7 @@ MID_FILES = {
     "test_multichip.py",            # dp grads == single-dev + dryrun entry
     "test_activation_mesh_scope.py",  # mesh-leak regression (r3 Weak #1)
     "test_pipeline_parallel.py",    # the test that caught the r3 leak
+    "test_fused_mesh_parity.py",    # fused Pallas kernels under GSPMD (r4)
 }
 
 
