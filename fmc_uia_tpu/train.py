@@ -68,6 +68,11 @@ def label_params(params: Dict, freeze_encoder: bool = False,
         def name(k):
             return k.key if hasattr(k, "key") else str(k)
 
+        # RoPE periods are a buffer (DINOv3 rope_embed.periods), not a
+        # weight: never updated, so converted checkpoint values survive
+        # fine-tuning even with an unfrozen backbone.
+        if name(path_key[-1]) == "rope_periods":
+            return "frozen"
         top = name(path_key[0])
         if top == "encoder":
             if freeze_encoder:

@@ -19,10 +19,17 @@ Two Swin layouts exist in the wild and both are covered:
 
 ``convert_swin`` auto-detects the layout (utils/convert.py old_layout).
 
-DINOv3 (``vit_large_patch16_dinov3.lvd1689m``) is intentionally NOT
-manifested: its timm implementation (axial RoPE, storage tokens) postdates
-what can be verified offline here, and vendoring a guessed contract would be
-worse than none — see PARITY.md.
+DINOv3 (``vit_large_patch16_dinov3.lvd1689m``): ``dinov3_manifest`` pins
+the facebookresearch/dinov3 release naming (``dinov3_vitl16_pretrain_*``
+checkpoints: cls_token / storage_tokens / rope_embed.periods /
+blocks.N.{ls1,ls2}.gamma), which is the upstream source timm repackages.
+convert_dinov3 additionally accepts the timm-Eva aliases (reg_token,
+gamma_1/2, split q/k/v projections). This naming is transcribed from the
+official dinov3 ``vision_transformer.py`` and could not be re-verified
+against a downloaded file in this offline environment — run
+``python -m fmc_uia_tpu.utils.convert --verify <file>`` the moment a real
+checkpoint is present; it diffs the file against this manifest and runs the
+numeric oracle.
 """
 
 from __future__ import annotations
@@ -124,6 +131,53 @@ def vit_manifest(embed_dim: int = 768, depth: int = 12,
     m["norm.bias"] = (embed_dim,)
     m["head.weight"] = (num_classes, embed_dim)
     m["head.bias"] = (num_classes,)
+    return m
+
+
+def dinov3_manifest(embed_dim: int = 1024, depth: int = 24,
+                    num_heads: int = 16, patch: int = 16,
+                    num_storage_tokens: int = 4,
+                    mlp_ratio: int = 4) -> Dict[str, Shape]:
+    """facebookresearch/dinov3 backbone state_dict manifest.
+
+    Defaults = ``dinov3_vitl16`` (the reference's flagship encoder,
+    reference configs/config.yaml:17-21 via timm
+    ``vit_large_patch16_dinov3.lvd1689m``). Architecture: patch embed,
+    cls token + ``num_storage_tokens`` storage (register) tokens, NO
+    absolute pos-embed (axial RoPE only — the realized rotation periods
+    ship as the ``rope_embed.periods`` buffer, head_dim//4 entries),
+    pre-norm blocks with LayerScale on both branches, plain MLP FFN for
+    the S/B/L sizes, final LayerNorm, ``mask_token`` for masked-image
+    modeling. See module docstring for offline-provenance caveats.
+    """
+    dh = embed_dim // num_heads
+    m: Dict[str, Shape] = {
+        "cls_token": (1, 1, embed_dim),
+        "storage_tokens": (1, num_storage_tokens, embed_dim),
+        "mask_token": (1, embed_dim),
+        "patch_embed.proj.weight": (embed_dim, 3, patch, patch),
+        "patch_embed.proj.bias": (embed_dim,),
+        "rope_embed.periods": (dh // 4,),
+    }
+    hidden = mlp_ratio * embed_dim
+    for i in range(depth):
+        base = f"blocks.{i}"
+        m[f"{base}.norm1.weight"] = (embed_dim,)
+        m[f"{base}.norm1.bias"] = (embed_dim,)
+        m[f"{base}.attn.qkv.weight"] = (3 * embed_dim, embed_dim)
+        m[f"{base}.attn.qkv.bias"] = (3 * embed_dim,)
+        m[f"{base}.attn.proj.weight"] = (embed_dim, embed_dim)
+        m[f"{base}.attn.proj.bias"] = (embed_dim,)
+        m[f"{base}.ls1.gamma"] = (embed_dim,)
+        m[f"{base}.norm2.weight"] = (embed_dim,)
+        m[f"{base}.norm2.bias"] = (embed_dim,)
+        m[f"{base}.mlp.fc1.weight"] = (hidden, embed_dim)
+        m[f"{base}.mlp.fc1.bias"] = (hidden,)
+        m[f"{base}.mlp.fc2.weight"] = (embed_dim, hidden)
+        m[f"{base}.mlp.fc2.bias"] = (embed_dim,)
+        m[f"{base}.ls2.gamma"] = (embed_dim,)
+    m["norm.weight"] = (embed_dim,)
+    m["norm.bias"] = (embed_dim,)
     return m
 
 

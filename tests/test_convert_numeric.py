@@ -351,3 +351,247 @@ def test_load_pretrained_encoder_end_to_end(tmp_path):
         loaded["stage0_scan"]["block0"]["attn"]["qkv"]["kernel"])
     want_qkv = tm.layers[0].blocks[0].attn.qkv.weight.detach().numpy().T
     np.testing.assert_allclose(got_qkv[0], want_qkv, rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# torch oracle: DINOv3 (axial RoPE + LayerScale + cls/storage tokens),
+# official facebookresearch/dinov3 checkpoint naming
+# --------------------------------------------------------------------------
+class TorchDinoBlock(nn.Module):
+    def __init__(self, dim, num_heads):
+        super().__init__()
+        self.num_heads = num_heads
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, 3 * dim)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.ls1 = nn.Module()
+        self.ls1.gamma = nn.Parameter(torch.randn(dim) * 0.1)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, dim * 4)
+        self.mlp.fc2 = nn.Linear(dim * 4, dim)
+        self.ls2 = nn.Module()
+        self.ls2.gamma = nn.Parameter(torch.randn(dim) * 0.1)
+
+    @staticmethod
+    def _rot_half(t):
+        h = t.shape[-1] // 2
+        return torch.cat([-t[..., h:], t[..., :h]], dim=-1)
+
+    def forward(self, x, sin, cos):
+        B, N, C = x.shape
+        H = self.num_heads
+        qkv = self.attn.qkv(self.norm1(x)).reshape(
+            B, N, 3, H, C // H).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, H, N, dh]
+        s, c = sin[None, None], cos[None, None]
+        q = q * c + self._rot_half(q) * s
+        k = k * c + self._rot_half(k) * s
+        a = ((q * (C // H) ** -0.5) @ k.transpose(-2, -1)).softmax(-1)
+        o = (a @ v).transpose(1, 2).reshape(B, N, C)
+        x = x + self.ls1.gamma * self.attn.proj(o)
+        y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(
+            self.norm2(x))))
+        return x + self.ls2.gamma * y
+
+
+class TorchTinyDino(nn.Module):
+    """Official dinov3 naming: cls_token, storage_tokens, mask_token,
+    rope_embed.periods, blocks.N.{ls1,ls2}.gamma, final norm."""
+
+    def __init__(self, dim=64, depth=3, num_heads=2, patch=16, img=64,
+                 n_storage=4, base=100.0):
+        super().__init__()
+        self.dim, self.num_heads, self.patch = dim, num_heads, patch
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.storage_tokens = nn.Parameter(
+            torch.randn(1, n_storage, dim) * 0.02)
+        self.mask_token = nn.Parameter(torch.zeros(1, dim))
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, stride=patch)
+        dh = dim // num_heads
+        self.rope_embed = nn.Module()
+        k = torch.arange(dh // 4, dtype=torch.float32)
+        self.rope_embed.register_buffer(
+            "periods", base ** (2 * k / (dh // 2)))
+        self.blocks = nn.ModuleList(
+            [TorchDinoBlock(dim, num_heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)  # dropped by the converter
+
+    def _sincos(self, gh, gw, P):
+        ys = (torch.arange(gh, dtype=torch.float32) + 0.5) / gh * 2 - 1
+        xs = (torch.arange(gw, dtype=torch.float32) + 0.5) / gw * 2 - 1
+        yy = ys.repeat_interleave(gw)
+        xx = xs.repeat(gh)
+        coords = torch.stack([yy, xx], dim=-1)  # [N, 2]
+        ang = 2 * math.pi * coords[:, :, None] / self.rope_embed.periods
+        ang = ang.reshape(gh * gw, -1)
+        ang = torch.cat([ang, ang], dim=-1)
+        sin, cos = ang.sin(), ang.cos()
+        sin = torch.cat([torch.zeros(P, sin.shape[-1]), sin], 0)
+        cos = torch.cat([torch.ones(P, cos.shape[-1]), cos], 0)
+        return sin, cos
+
+    def forward(self, x):
+        B = x.shape[0]
+        gh, gw = x.shape[-2] // self.patch, x.shape[-1] // self.patch
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        P = 1 + self.storage_tokens.shape[1]
+        x = torch.cat([self.cls_token.expand(B, -1, -1),
+                       self.storage_tokens.expand(B, -1, -1), x], dim=1)
+        sin, cos = self._sincos(gh, gw, P)
+        outs = []
+        for blk in self.blocks:
+            x = blk(x, sin, cos)
+            outs.append(x[:, P:, :])
+        return outs
+
+
+def test_dinov3_conversion_forward_parity():
+    from fmc_uia_tpu.models.encoders.vit import ViTBackbone
+    from fmc_uia_tpu.utils.convert import convert_dinov3
+
+    torch.manual_seed(5)
+    tm = TorchTinyDino().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    bb = ViTBackbone(embed_dim=64, depth=3, num_heads=2, patch_size=16,
+                     out_indices=(0, 1, 2), rope=True, num_storage_tokens=4,
+                     layerscale=True, dtype=jnp.float32)
+    x = np.random.RandomState(7).rand(2, 64, 64, 3).astype(np.float32)
+    variables = bb.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    converted = convert_dinov3(sd)
+    params = merge_params(variables["params"], converted)
+    # the checkpoint's periods buffer was loaded verbatim
+    np.testing.assert_allclose(np.asarray(params["rope_periods"]),
+                               tm.rope_embed.periods.numpy(), rtol=1e-6)
+
+    got = bb.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g).reshape(2, 16, 64), w.numpy(),
+            atol=2e-3, rtol=5e-3, err_msg=f"dino block {i} diverged")
+
+
+def test_dinov3_load_pretrained_encoder_end_to_end(tmp_path):
+    """Full config-path surface for the dinov3 route of
+    load_pretrained_encoder (backbone subtree + storage-token check)."""
+    from fmc_uia_tpu.models.encoders.vit import ViTMultiScaleEncoder
+
+    torch.manual_seed(6)
+    tm = TorchTinyDino().eval()
+    path = str(tmp_path / "tiny_dino.pth")
+    torch.save(tm.state_dict(), path)
+
+    enc = ViTMultiScaleEncoder(
+        embed_dim=64, depth=3, num_heads=2, patch_size=16,
+        out_indices=(0, 1, 2), adapter_type="resize", adapter_channels=32,
+        rope=True, num_storage_tokens=4, layerscale=True)
+    variables = enc.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+    loaded = load_pretrained_encoder("dinov3", path, variables["params"])
+    want = tm.patch_embed.proj.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(loaded["backbone"]["patch_embed"]["kernel"]), want,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(loaded["backbone"]["block1"]["ls1"]),
+        tm.blocks[1].ls1.gamma.detach().numpy(), rtol=1e-6)
+
+
+def test_resnet_bn_to_gn_preserved_quantities():
+    """BN->GN conversion preserves EXACTLY the conv kernels (layout-
+    transposed) and the affine scale/bias; what changes is only the
+    normalization statistics (running stats dropped, per-sample GN stats
+    instead) — pin the preserved part numerically (VERDICT r3 item 10)."""
+    from fmc_uia_tpu.models.encoders.resnet import ResNetEncoder
+    from fmc_uia_tpu.utils.convert import convert_resnet50
+    from fmc_uia_tpu.utils.timm_manifests import resnet50_manifest
+
+    rng = np.random.RandomState(0)
+    sd = {}
+    for k, shape in resnet50_manifest().items():
+        if k.endswith("running_var"):
+            sd[k] = np.abs(rng.randn(*shape)).astype(np.float32) + 0.5
+        else:
+            sd[k] = rng.randn(*shape).astype(np.float32)
+    converted = convert_resnet50(sd)
+
+    # stem: conv kernel transposed OIHW->HWIO, bn affine -> gn affine
+    np.testing.assert_array_equal(
+        converted["stem_conv"]["kernel"],
+        sd["conv1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(converted["GroupNorm_0"]["scale"],
+                                  sd["bn1.weight"])
+    np.testing.assert_array_equal(converted["GroupNorm_0"]["bias"],
+                                  sd["bn1.bias"])
+    # a deep block incl. the downsample projection
+    b = converted["stage2_block0"]
+    np.testing.assert_array_equal(
+        b["Conv_1"]["kernel"], sd["layer3.0.conv2.weight"]
+        .transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(b["GroupNorm_2"]["scale"],
+                                  sd["layer3.0.bn3.weight"])
+    np.testing.assert_array_equal(
+        b["proj"]["kernel"], sd["layer3.0.downsample.0.weight"]
+        .transpose(2, 3, 1, 0))
+    # nothing BN-statistical leaked into the GN tree
+    flat = []
+
+    def walk(t, p=""):
+        for k, v in t.items():
+            (walk(v, f"{p}/{k}") if isinstance(v, dict)
+             else flat.append(f"{p}/{k}"))
+
+    walk(converted)
+    assert not [p for p in flat if "running" in p]
+    # and the model accepts the tree end-to-end (shape-validated merge)
+    enc = ResNetEncoder()
+    variables = jax.eval_shape(
+        lambda k, x: enc.init(k, x), jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    tree = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, np.float32), variables["params"])
+    merge_params(tree, converted)
+
+
+@pytest.mark.parametrize("family", ["swin", "vit", "dinov3"])
+def test_verify_checkpoint_cli(tmp_path, family):
+    """`python -m fmc_uia_tpu.utils.convert --verify FILE` passes on a
+    manifest-shaped file and fails on a corrupted one."""
+    from fmc_uia_tpu.utils import timm_manifests as M
+    from fmc_uia_tpu.utils.convert import verify_checkpoint
+
+    rng = np.random.RandomState(1)
+    if family == "swin":
+        man = M.swin_manifest(embed_dim=16, depths=(2, 2), num_heads=(2, 2),
+                              window=7, num_classes=4)
+        size = 112
+    elif family == "vit":
+        man = M.vit_manifest(embed_dim=32, depth=2, patch=16, img_size=64,
+                             num_classes=4)
+        size = 64
+    else:
+        man = M.dinov3_manifest(embed_dim=32, depth=2, num_heads=2)
+        size = 64
+    sd = {}
+    for k, shape in man.items():
+        if k.endswith("relative_position_index"):
+            sd[k] = torch.zeros(shape, dtype=torch.int64)
+        else:
+            sd[k] = torch.from_numpy(
+                rng.randn(*shape).astype(np.float32) * 0.05)
+    good = str(tmp_path / f"{family}.pth")
+    torch.save(sd, good)
+    assert verify_checkpoint(good, image_size=size)
+
+    key = {"swin": "layers.0.blocks.0.attn.qkv.weight",
+           "vit": "blocks.0.attn.qkv.weight",
+           "dinov3": "blocks.0.attn.qkv.weight"}[family]
+    sd[key] = sd[key][:, :-1]  # corrupt a shape
+    bad = str(tmp_path / f"{family}_bad.pth")
+    torch.save(sd, bad)
+    assert not verify_checkpoint(bad, image_size=size)

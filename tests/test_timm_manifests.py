@@ -142,3 +142,63 @@ def test_resnet50_manifest_converts_covers_and_warns():
         C.load_pretrained_encoder("resnet50", path, params)
     assert any("BatchNorm running statistics are dropped" in str(w.message)
                for w in rec), "missing BN->GN semantics warning"
+
+
+def test_dinov3_vitl16_manifest_converts_and_covers():
+    """Full-size dinov3_vitl16: the vendored manifest converts cleanly and
+    covers EVERY param of the rope-mode backbone (the model holds nothing
+    the checkpoint can't provide — pos_embed does not exist in this mode);
+    mask_token / final norm are deliberately dropped."""
+    from fmc_uia_tpu.utils.timm_manifests import dinov3_manifest
+
+    man = dinov3_manifest()
+    sd = _sd_from_manifest(man)
+    bb = ViTBackbone(embed_dim=1024, depth=24, num_heads=16, patch_size=16,
+                     out_indices=(5, 11, 17, 23), rope=True,
+                     num_storage_tokens=4, layerscale=True)
+    params = _shape_tree(bb, (1, 224, 224, 3))
+    converted = C.convert_dinov3(sd)
+    merged = C.merge_params(params, converted)
+    flat_model = _flat_paths(params)
+    flat_conv = _flat_paths(converted)
+    missing = sorted(set(flat_model) - set(flat_conv))
+    assert not missing, f"dinov3 params not covered: {missing[:10]}"
+    flat = _flat_paths(merged)
+    assert flat["rope_periods"].shape == (16,)  # head_dim 64 // 4
+    assert flat["storage_tokens"].shape == (1, 4, 1024)
+    assert flat["block23/ls2"].shape == (1024,)
+    assert flat["block0/qkv/kernel"].shape == (1024, 3072)
+    # the manifest's buffer rode through verbatim, not re-derived
+    np.testing.assert_allclose(flat["rope_periods"],
+                               sd["rope_embed.periods"], rtol=0)
+
+
+def test_dinov3_manifest_timm_eva_aliases():
+    """timm's Eva-based repackaging (reg_token, gamma_1/2, split q/k/v)
+    converts to the identical tree as the official naming."""
+    from fmc_uia_tpu.utils.timm_manifests import dinov3_manifest
+
+    man = dinov3_manifest(embed_dim=64, depth=2, num_heads=2,
+                          num_storage_tokens=4)
+    sd = _sd_from_manifest(man, seed=3)
+    want = C.convert_dinov3(dict(sd))
+
+    # rewrite to timm-eva aliases
+    alias = {}
+    for k, v in sd.items():
+        k2 = (k.replace("storage_tokens", "reg_token")
+               .replace("ls1.gamma", "gamma_1")
+               .replace("ls2.gamma", "gamma_2"))
+        if ".attn.qkv." in k2:
+            d = v.shape[0] // 3
+            for i, p in enumerate(("q_proj", "k_proj", "v_proj")):
+                alias[k2.replace("attn.qkv", f"attn.{p}")] = (
+                    v[i * d:(i + 1) * d])
+            continue
+        alias[k2] = v
+    got = C.convert_dinov3(alias)
+    flat_w, flat_g = _flat_paths(want), _flat_paths(got)
+    assert set(flat_w) == set(flat_g)
+    for k in flat_w:
+        np.testing.assert_allclose(flat_g[k], flat_w[k], rtol=1e-6,
+                                   err_msg=k)
