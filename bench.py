@@ -273,6 +273,19 @@ def run_sustained_benchmark(encoder, image_size, batch, steps):
                         shuffle_sampler=sampler, num_workers=4,
                         prefetch_depth=4)
     engine.put_fn = trainer.put_batch
+    # BENCH_SUSTAINED_DEVCACHE=1 (default): stage the decoded dataset to
+    # HBM once and gather batches on device — the recommended
+    # data.device_cache=true config. =0 measures the streaming path
+    # (per-step H2D), which on the axon tunnel is transfer-bound
+    # (PERF.md r4: device_put blocks ~340 ms while the device executes).
+    if os.environ.get("BENCH_SUSTAINED_DEVCACHE", "1") == "1":
+        from fmc_uia_tpu.data.device_cache import build_device_cache
+
+        cache = build_device_cache(dataset, indices, registry, 4 << 30)
+        if cache is not None:
+            engine.device_cache = cache
+            log(f"sustained: device dataset cache "
+                f"{cache.nbytes / 1e6:.0f} MB staged")
 
     # epoch 0: compile the 4 programs + decode/warm the sample cache
     for b in engine:

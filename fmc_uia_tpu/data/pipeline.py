@@ -19,6 +19,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from fmc_uia_tpu.data.dataset import MultiTaskDataset
+from fmc_uia_tpu.data.device_cache import _narrow_labels, build_device_cache
 from fmc_uia_tpu.data.sampler import MultiTaskUniformSampler
 from fmc_uia_tpu.tasks import TaskRegistry
 
@@ -55,6 +56,10 @@ def _collate(samples: Sequence[Dict], registry: TaskRegistry,
     if images.dtype != np.float32:  # adaptive-norm path yields float32
         images = images.astype(np.uint8)
     labels = np.stack([s["label"] for s in samples])
+    # ship segmentation masks as uint8 (class ids < 256): 4x fewer H2D
+    # bytes; Trainer.put_batch / evaluate widen to int32 on device, so the
+    # compiled step programs are unchanged
+    labels = _narrow_labels(spec.task_name, labels, spec.num_classes)
     B = len(samples)
     valid = np.arange(B) < (B if n_valid is None else n_valid)
     return {
@@ -94,6 +99,9 @@ class DataEngine:
         # fit() points this at Trainer.put_batch so the (async) host->device
         # transfer overlaps the previous step's compute
         self.put_fn = None
+        # optional DeviceDatasetCache: batches are gathered on device from
+        # staged sample banks (per-step wire traffic = one index vector)
+        self.device_cache = None
 
     def __len__(self) -> int:
         if self.sampler is not None:
@@ -134,6 +142,8 @@ class DataEngine:
             # last row); keeps every batch the same shape so the 4 jitted
             # eval steps never recompile on residual sizes
             rows = rows + [rows[-1]] * (self.batch_size - n_valid)
+        if self.device_cache is not None and self.device_cache.covers(rows):
+            return self.device_cache.get_batch(rows, n_valid=n_valid)
         samples = list(self._pool.map(self.dataset.__getitem__, rows))
         return _collate(samples, self.registry, n_valid=n_valid)
 
@@ -248,4 +258,16 @@ def build_data_engines(config, registry: Optional[TaskRegistry] = None
         shuffle_sampler=None, num_workers=config.num_workers,
         drop_last=False,
     )
+    # data.device_cache: stage the decoded dataset to HBM once and gather
+    # batches on device (see data/device_cache.py). Train and val share one
+    # bank; oversize datasets print a note and keep streaming.
+    if bool(config.get("data.device_cache", False)):
+        budget = int(config.get("data.device_cache_budget_mb", 4096))
+        cache = build_device_cache(dataset, list(train_idx) + list(val_idx),
+                                   registry, budget * (1 << 20))
+        if cache is not None:
+            train_engine.device_cache = cache
+            val_engine.device_cache = cache
+            print(f"[data] device dataset cache: {cache.nbytes / 1e6:.0f} MB"
+                  f" staged to device memory")
     return train_engine, val_engine, registry

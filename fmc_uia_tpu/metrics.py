@@ -224,6 +224,8 @@ def evaluate(model, params, val_engine, registry: TaskRegistry, mean, std,
     for batch in val_engine:
         images = jnp.asarray(batch["image"])
         labels = jnp.asarray(batch["label"])
+        if labels.dtype == jnp.uint8:  # wire-narrowed seg masks -> int32
+            labels = labels.astype(jnp.int32)
         tindex = jnp.int32(batch["task_index"])
         valid_np = np.asarray(batch.get(
             "valid", np.ones((images.shape[0],), bool)))

@@ -474,6 +474,15 @@ def make_train_step(
     return accum_train_step, None  # burst mode unsupported with accum
 
 
+def _widen_labels(task_type, label):
+    """Undo the wire narrowing of segmentation masks (pipeline._collate
+    ships them uint8); a device-side cast keeps the compiled step/eval
+    programs' int32 signature."""
+    if task_type == SEGMENTATION and getattr(label, "dtype", None) == jnp.uint8:
+        return jnp.asarray(label).astype(jnp.int32)
+    return label
+
+
 # --------------------------------------------------------------------------
 # Trainer
 # --------------------------------------------------------------------------
@@ -691,19 +700,24 @@ class Trainer:
 
         Call from the data-engine producer thread to overlap H2D with the
         previous step's compute (train_batch passes jax.Arrays through
-        untouched)."""
+        untouched). Device-resident batches (DeviceDatasetCache) pass
+        through; uint8-narrowed segmentation masks (pipeline._collate) are
+        widened to int32 on device so the step programs never see the wire
+        dtype."""
         out = dict(batch)
-        if self.mesh is not None:
-            from fmc_uia_tpu.parallel import batch_sharding
+        image, label = batch["image"], batch["label"]
+        if not isinstance(image, jax.Array):
+            if self.mesh is not None:
+                from fmc_uia_tpu.parallel import batch_sharding
 
-            bs = batch_sharding(self.mesh)
-            out["image"] = jax.device_put(
-                np.asarray(batch["image"]), bs)
-            out["label"] = jax.device_put(
-                np.asarray(batch["label"]), bs)
-        else:
-            out["image"] = jax.device_put(np.asarray(batch["image"]))
-            out["label"] = jax.device_put(np.asarray(batch["label"]))
+                bs = batch_sharding(self.mesh)
+                image = jax.device_put(np.asarray(image), bs)
+                label = jax.device_put(np.asarray(label), bs)
+            else:
+                image = jax.device_put(np.asarray(image))
+                label = jax.device_put(np.asarray(label))
+        out["image"] = image
+        out["label"] = _widen_labels(batch.get("task_type"), label)
         return out
 
     def _step_args(self, batch: Dict, epoch: int):

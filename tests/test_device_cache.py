@@ -1,0 +1,141 @@
+"""Device-resident dataset cache + wire-narrowed seg labels.
+
+The cache (data/device_cache.py) stages decoded samples to device memory
+once and assembles batches with an on-device gather; these tests pin that
+the gathered batches are bit-identical to the host _collate path (after
+label widening), that the streaming path's uint8 wire labels widen back
+losslessly, and that the budget fallback streams instead of crashing.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fmc_uia_tpu.data.dataset import MultiTaskDataset
+from fmc_uia_tpu.data.device_cache import (
+    DeviceDatasetCache,
+    _narrow_labels,
+    build_device_cache,
+)
+from fmc_uia_tpu.data.pipeline import DataEngine, _collate
+from fmc_uia_tpu.data.sampler import MultiTaskUniformSampler
+from fmc_uia_tpu.data.synthetic import generate_synthetic_dataset
+from fmc_uia_tpu.tasks import SEGMENTATION, TaskRegistry
+
+S = 48
+
+
+@pytest.fixture(scope="module")
+def ds_registry(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_devcache")
+    generate_synthetic_dataset(str(root), samples_per_task=8, seed=3)
+    ds = MultiTaskDataset(str(root), image_size=S)
+    registry = TaskRegistry(ds.derive_task_configs())
+    return ds, registry
+
+
+def _host_batch(ds, registry, rows):
+    return _collate([ds[i] for i in rows], registry)
+
+
+def test_narrow_labels_roundtrip():
+    lab = np.random.randint(0, 5, (4, 8, 8)).astype(np.int32)
+    narrow = _narrow_labels(SEGMENTATION, lab, num_classes=5)
+    assert narrow.dtype == np.uint8
+    assert np.array_equal(narrow.astype(np.int32), lab)
+    # non-seg labels pass through untouched
+    reg = np.random.rand(4, 6).astype(np.float32)
+    assert _narrow_labels("Regression", reg, 3) is reg
+
+
+def test_collate_ships_uint8_seg_masks(ds_registry):
+    ds, registry = ds_registry
+    df = ds.dataframe
+    rows = list(df.index[df["task_name"] == "segmentation"][:4])
+    batch = _host_batch(ds, registry, rows)
+    assert batch["label"].dtype == np.uint8
+    # Trainer.put_batch widens on device
+    from fmc_uia_tpu.train import _widen_labels
+
+    widened = _widen_labels(batch["task_type"], jnp.asarray(batch["label"]))
+    assert widened.dtype == jnp.int32
+    assert np.array_equal(np.asarray(widened),
+                          np.stack([ds[i]["label"] for i in rows]))
+
+
+@pytest.mark.parametrize("task_name", [
+    "segmentation", "classification", "detection", "Regression"])
+def test_gathered_batch_matches_host_collate(ds_registry, task_name):
+    ds, registry = ds_registry
+    cache = DeviceDatasetCache(ds, range(len(ds)), registry)
+    df = ds.dataframe
+    rows = list(df.index[df["task_name"] == task_name][:5])
+    rows = [rows[1], rows[3], rows[0]]  # arbitrary order matters
+    got = cache.get_batch(rows)
+    want = _host_batch(ds, registry, rows)
+    assert np.array_equal(np.asarray(got["image"]), want["image"])
+    want_label = want["label"]
+    if want_label.dtype == np.uint8:
+        want_label = want_label.astype(np.int32)
+        assert got["label"].dtype == jnp.int32  # widened on device
+    assert np.array_equal(np.asarray(got["label"]), want_label)
+    for k in ("task_id", "task_index", "task_type"):
+        assert got[k] == want[k]
+    assert isinstance(got["image"], jax.Array)
+
+
+def test_engine_with_device_cache_yields_identical_batches(ds_registry):
+    ds, registry = ds_registry
+    indices = list(range(len(ds)))
+    sampler_a = MultiTaskUniformSampler(
+        task_ids_per_index=[ds.dataframe.iloc[i]["task_id"] for i in indices],
+        batch_size=4, steps_per_epoch=6, seed=11)
+    sampler_b = MultiTaskUniformSampler(
+        task_ids_per_index=[ds.dataframe.iloc[i]["task_id"] for i in indices],
+        batch_size=4, steps_per_epoch=6, seed=11)
+    plain = DataEngine(ds, indices, registry, 4, shuffle_sampler=sampler_a,
+                       num_workers=1, prefetch_depth=0)
+    cached = DataEngine(ds, indices, registry, 4, shuffle_sampler=sampler_b,
+                        num_workers=1, prefetch_depth=0)
+    cached.device_cache = DeviceDatasetCache(ds, indices, registry)
+    for a, b in zip(plain, cached):
+        assert a["task_id"] == b["task_id"]
+        assert np.array_equal(a["image"], np.asarray(b["image"]))
+        a_lab = a["label"]
+        if a_lab.dtype == np.uint8:
+            a_lab = a_lab.astype(np.int32)
+        assert np.array_equal(a_lab, np.asarray(b["label"]))
+        assert np.array_equal(a["valid"], np.asarray(b["valid"]))
+
+
+def test_eval_padding_valid_mask(ds_registry):
+    ds, registry = ds_registry
+    indices = list(range(len(ds)))
+    eng = DataEngine(ds, indices, registry, batch_size=5, num_workers=1,
+                     prefetch_depth=0, drop_last=False)
+    eng.device_cache = DeviceDatasetCache(ds, indices, registry)
+    batches = list(eng)
+    # 8 samples/task at batch 5 -> each task yields a padded final chunk
+    padded = [b for b in batches if not np.all(np.asarray(b["valid"]))]
+    assert padded, "expected padded final eval chunks"
+    for b in padded:
+        assert np.asarray(b["image"]).shape[0] == 5
+        assert np.asarray(b["valid"]).sum() == 3  # 8 % 5
+
+
+def test_budget_fallback(ds_registry):
+    ds, registry = ds_registry
+    assert build_device_cache(ds, range(len(ds)), registry,
+                              budget_bytes=100) is None
+    cache = build_device_cache(ds, range(len(ds)), registry,
+                               budget_bytes=4 << 30)
+    assert cache is not None
+
+
+def test_cache_covers_subset_only(ds_registry):
+    ds, registry = ds_registry
+    cache = DeviceDatasetCache(ds, range(10), registry)
+    assert cache.covers(range(10))
+    assert not cache.covers([0, 11])
