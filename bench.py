@@ -298,11 +298,11 @@ def run_sustained_benchmark(encoder, image_size, batch, steps):
     for b in engine:
         logs = trainer.train_batch(b, epoch=1)
         n += 1
-    jax.block_until_ready(logs["total_loss"])
+    final_loss = float(jax.device_get(logs["total_loss"]))  # real data read
     elapsed = time.time() - t0
     ips = n * batch / elapsed
     log(f"sustained: {n} steps x batch {batch} through the DataEngine in "
-        f"{elapsed:.2f}s -> {ips:.2f} img/s")
+        f"{elapsed:.2f}s -> {ips:.2f} img/s (final loss {final_loss:.4f})")
     return ips
 
 
@@ -326,7 +326,16 @@ def run_benchmark(encoder, image_size, batch, steps):
     if os.environ.get("BENCH_PARALLEL_COMPILE", "1") == "1":
         try:
             t0 = time.time()
-            times = trainer.warm_compile(batches, parallel=True)
+            # BENCH_AOT_DIR (opt-in, default OFF): on-disk
+            # serialized-executable cache. Measured on the axon transport
+            # (PERF.md r4): deserialize_and_load is 11.4 s/program BUT the
+            # deserialized executable then EXECUTES ~70x slow (11 s/step,
+            # 2.17 img/s) with broken ready-events — unusable here; kept
+            # for co-located hosts where PJRT deserialization is the
+            # standard AOT path.
+            aot_dir = os.environ.get("BENCH_AOT_DIR", "")
+            times = trainer.warm_compile(batches, parallel=True,
+                                         aot_dir=aot_dir or None)
             for t, dt in times.items():
                 log(f"aot-compile [{t}]: {dt:.1f}s")
             log(f"parallel warm-compile wall: {time.time() - t0:.1f}s")
@@ -344,16 +353,19 @@ def run_benchmark(encoder, image_size, batch, steps):
     # compiled in-process, so a restart is cheap).
     sched = np.random.RandomState(42)
     order = [types[sched.randint(len(types))] for _ in range(steps)]
-    # a full 512^2 train step cannot be faster than this; an implied
-    # per-step under it means the async chain didn't actually block
-    # (observed once under axon) -> fall back to per-step forced sync
+    # Final sync is a DATA READ, not block_until_ready: on the axon
+    # transport, block_until_ready on outputs of a deserialized AOT
+    # executable was observed returning before the chain finished (r4:
+    # 30 steps "in" 1.28 s against a 155 ms device step). device_get must
+    # produce the bytes, so it cannot lie. The per-step-sync fallback
+    # below guards the remaining implausible-timing cases.
     min_plausible_step_s = 0.005
     for attempt in range(3):
         try:
             t0 = time.time()
             for t in order:
                 logs = trainer.train_batch(batches[t], epoch=0)
-            jax.block_until_ready(logs["total_loss"])
+            float(jax.device_get(logs["total_loss"]))
             elapsed = time.time() - t0
             if elapsed / steps < min_plausible_step_s:
                 log(f"implausible async timing ({elapsed:.2f}s for {steps} "
@@ -361,7 +373,7 @@ def run_benchmark(encoder, image_size, batch, steps):
                 t0 = time.time()
                 for t in order:
                     logs = trainer.train_batch(batches[t], epoch=0)
-                    jax.block_until_ready(logs["total_loss"])
+                    float(jax.device_get(logs["total_loss"]))
                 elapsed = time.time() - t0
             break
         except Exception as e:
@@ -371,8 +383,9 @@ def run_benchmark(encoder, image_size, batch, steps):
                 f"({str(e)[:200]}); restarting timing")
             time.sleep(10)
     ips = steps * batch / elapsed
+    final_loss = float(jax.device_get(logs["total_loss"]))
     log(f"{steps} steps x batch {batch} in {elapsed:.2f}s -> "
-        f"{ips:.2f} img/s")
+        f"{ips:.2f} img/s (final loss {final_loss:.4f})")
     return ips
 
 

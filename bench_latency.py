@@ -66,12 +66,16 @@ def main():
             np.uint8))
 
     # Dispatch floor (VERDICT r3 Weak #7): the synchronous submit->result
-    # round trip of a null program through the host<->device transport.
-    # Any single-request latency is lower-bounded by this; if the measured
-    # forward sits near (floor + device step time), batch-1 latency is
-    # transport-bound, not model-bound.
-    null_step = jax.jit(lambda x: x + 1)
-    tiny = jnp.zeros((8,), jnp.float32)
+    # round trip of a minimal REAL program through the host<->device
+    # transport. Any single-request latency is lower-bounded by this; if
+    # the measured forward sits near (floor + device step time), batch-1
+    # latency is transport-bound, not model-bound.
+    # NOT `x+1`: single-elementwise-op programs take a client fast path on
+    # the axon transport (0.02 ms) and wildly understate the floor; any
+    # >=2-op program pays the full round trip (~24 ms measured, flat from
+    # 0.01 to 3 ms of actual compute — PERF.md r4 latency section).
+    null_step = jax.jit(lambda x: jnp.sin(x * 2).sum())
+    tiny = jnp.zeros((1024,), jnp.float32)
     jax.block_until_ready(null_step(tiny))
     floor_times = []
     for _ in range(iters):
@@ -79,7 +83,7 @@ def main():
         jax.block_until_ready(null_step(tiny))
         floor_times.append(time.perf_counter() - t0)
     floor_ms = float(np.percentile(np.asarray(floor_times) * 1e3, 50))
-    log(f"dispatch floor (null jitted program, sync): p50={floor_ms:.2f}ms")
+    log(f"dispatch floor (minimal real program, sync): p50={floor_ms:.2f}ms")
 
     results = {}
     for ttype, step in steps.items():

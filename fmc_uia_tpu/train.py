@@ -633,8 +633,32 @@ class Trainer:
 
         return activation_mesh_scope(self.mesh)
 
+    def _aot_key(self, task_type: str, images, labels) -> str:
+        """Content key for the on-disk AOT executable cache: anything that
+        can change the compiled program must be in here — stale hits would
+        run old code silently."""
+        import hashlib
+        import json as _json
+        from pathlib import Path
+
+        h = hashlib.sha256()
+        dev = jax.devices()[0]
+        h.update(f"{jax.__version__}|{dev.device_kind}|"
+                 f"{len(jax.devices())}".encode())
+        h.update(f"{task_type}|{images.shape}|{images.dtype}|"
+                 f"{labels.shape}|{labels.dtype}".encode())
+        cfg = {k: self.config.config.get(k) for k in
+               ("model", "training", "device", "data", "parallel")}
+        h.update(_json.dumps(cfg, sort_keys=True, default=str).encode())
+        # source digest: any edit to the package invalidates the cache
+        pkg = Path(__file__).resolve().parent
+        for p in sorted(pkg.rglob("*.py")):
+            h.update(p.read_bytes())
+        return h.hexdigest()[:32]
+
     def warm_compile(self, example_batches: Dict[str, Dict],
-                     parallel: bool = True) -> Dict[str, float]:
+                     parallel: bool = True,
+                     aot_dir: Optional[str] = None) -> Dict[str, float]:
         """AOT-compile the per-type train steps, optionally in parallel.
 
         A fresh process pays one compile (or persistent-cache
@@ -663,12 +687,80 @@ class Trainer:
             t0 = _time.time()
             images, labels, task_index, lr, adaptive_enable = (
                 self._step_args(batch, 0))
-            lowered = self.steps[task_type].lower(
-                self.state, images, labels, task_index, lr,
-                adaptive_enable, self.rng)
-            compiled = lowered.compile()
             key = self._compiled_key(task_type, images, labels)
+            # on-disk AOT executable cache (PERF.md r4 warm-start
+            # dissection): a cache-hit through jit/lower/compile still pays
+            # 10-50 s of tracing + 60-110 s of persistent-cache
+            # deserialization through the remote helper per program;
+            # deserialize_and_load of a pickled executable is ~11 s and
+            # skips tracing entirely.
+            path = None
+            if aot_dir:
+                import os as _os
+                import pickle
+
+                akey = self._aot_key(task_type, images, labels)
+                path = _os.path.join(aot_dir, f"{task_type}_{akey}.aotx")
+                if _os.path.exists(path):
+                    try:
+                        from jax.experimental.serialize_executable import (
+                            deserialize_and_load,
+                        )
+
+                        with open(path, "rb") as f:
+                            payload, in_tree, out_tree = pickle.load(f)
+                        self._compiled[key] = deserialize_and_load(
+                            payload, in_tree, out_tree)
+                        return _time.time() - t0
+                    except Exception as e:  # corrupt/incompatible: recompile
+                        print(f"[warm] AOT cache load failed for "
+                              f"{task_type} ({type(e).__name__}: "
+                              f"{str(e)[:120]}); recompiling")
+            # the remote compile helper is flaky under concurrent load
+            # ("read body: response body closed", 500s) — retry per
+            # program instead of letting one thread's transient kill the
+            # whole parallel warm-compile (observed in the r4 bench run)
+            last = None
+            for attempt in range(3):
+                try:
+                    lowered = self.steps[task_type].lower(
+                        self.state, images, labels, task_index, lr,
+                        adaptive_enable, self.rng)
+                    compiled = lowered.compile()
+                    break
+                except Exception as e:
+                    last = e
+                    msg = f"{type(e).__name__}: {e}"
+                    transient = any(m in msg for m in (
+                        "remote_compile", "read body", "UNAVAILABLE",
+                        "DEADLINE_EXCEEDED", "Connection", "connection",
+                        "Socket closed", "EOF", "ABORTED", "http://"))
+                    if not transient or attempt == 2:
+                        raise
+                    print(f"[warm] transient compile failure for "
+                          f"{task_type} ({msg[:160]}); retry "
+                          f"{attempt + 1}/2 in {10 * (attempt + 1)}s")
+                    _time.sleep(10 * (attempt + 1))
+            else:  # pragma: no cover - loop always breaks or raises
+                raise last
             self._compiled[key] = compiled
+            if path is not None:
+                try:
+                    import os as _os
+                    import pickle
+
+                    from jax.experimental.serialize_executable import (
+                        serialize,
+                    )
+
+                    _os.makedirs(aot_dir, exist_ok=True)
+                    tmp = path + ".tmp"
+                    with open(tmp, "wb") as f:
+                        pickle.dump(serialize(compiled), f)
+                    _os.replace(tmp, path)
+                except Exception as e:
+                    print(f"[warm] AOT cache save failed for {task_type} "
+                          f"({type(e).__name__}: {str(e)[:120]})")
             return _time.time() - t0
 
         times: Dict[str, float] = {}
@@ -682,7 +774,14 @@ class Trainer:
                     futs = {t: ex.submit(compile_one, t, b)
                             for t, b in example_batches.items()}
                     for t, f in futs.items():
-                        times[t] = f.result()
+                        try:
+                            times[t] = f.result()
+                        except Exception as e:
+                            # leave this program to the jit path instead of
+                            # discarding the siblings' finished executables
+                            print(f"[warm] AOT compile failed for {t} "
+                                  f"({type(e).__name__}: {str(e)[:160]}); "
+                                  f"jit will compile it on first step")
             else:
                 for t, b in example_batches.items():
                     times[t] = compile_one(t, b)
