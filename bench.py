@@ -37,20 +37,10 @@ REFERENCE_A100_IPS_ESTIMATE = 75.0
 
 # The axon remote-compile tunnel is flaky under load ("read body: response
 # body closed", 500s). Round 1's official bench died on one of these
-# (BENCH_r01 rc=1); every compile/step is now retried with backoff.
-TRANSIENT_MARKERS = (
-    "remote_compile", "read body", "UNAVAILABLE", "DEADLINE_EXCEEDED",
-    "Connection reset", "connection", "Socket closed", "EOF",
-    "ABORTED", "http://",
-)
-
-
-def is_transient(exc: Exception) -> bool:
-    msg = f"{type(exc).__name__}: {exc}"
-    oom = ("RESOURCE_EXHAUSTED", "Out of memory", "OOM")
-    if any(m in msg for m in oom):
-        return False
-    return any(m in msg for m in TRANSIENT_MARKERS)
+# (BENCH_r01 rc=1); every compile/step is retried with backoff. The
+# narrow transport-specific classifier lives in utils/transient.py
+# (ADVICE r4: broad substrings retried genuine errors).
+from fmc_uia_tpu.utils.transient import is_transient  # noqa: E402
 
 
 def log(msg):
@@ -318,6 +308,13 @@ def run_benchmark(encoder, image_size, batch, steps):
     trainer, batches, registry = build_bench(encoder, image_size, batch)
     types = list(batches)
 
+    # Persistent-cache evidence (VERDICT r4 #4): snapshot the cache dir so
+    # the log states whether THIS run compiled from scratch or hit the
+    # warmed cache — BENCH_r04's 242 s "warm" compile was an undetected
+    # cold cache.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    before = set(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else set()
+
     # warmup: compile all 4 programs. Default path AOT-compiles them in
     # PARALLEL threads (Trainer.warm_compile) — the per-program compile /
     # warm-cache deserialization rides the remote helper, so 4 concurrent
@@ -347,6 +344,11 @@ def run_benchmark(encoder, image_size, batch, steps):
         logs = step_with_retry(trainer, batches[t])
         jax.block_until_ready(logs["total_loss"])
         log(f"compile+first-step [{t}]: {time.time() - t0:.1f}s")
+    if cache_dir and os.path.isdir(cache_dir):
+        new = set(os.listdir(cache_dir)) - before
+        log(f"persistent-cache: {len(new)} new entr(ies) written during "
+            f"compile -> {'COLD (miss)' if new else 'WARM (hit)'} "
+            f"[{cache_dir}]")
 
     # steady-state: uniform round-robin like the training sampler.
     # A transient mid-timing restarts the timed window (programs stay

@@ -347,4 +347,10 @@ class MultiTaskDataset:
         else:
             raise ValueError(f"Unknown task_name: {task_name}")
 
-        return {"image": image, "label": label, "task_id": task_id}
+        # source_index: which dataframe row this sample's bytes actually came
+        # from. Normally == the requested idx, but the corrupt-image retry
+        # above returns a NEIGHBOR's sample — consumers that freeze samples
+        # (DeviceDatasetCache) use the stamp to make the substitution
+        # visible instead of silently caching the wrong row (ADVICE r4).
+        return {"image": image, "label": label, "task_id": task_id,
+                "source_index": idx}

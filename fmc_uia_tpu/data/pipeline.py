@@ -176,11 +176,17 @@ class DataEngine:
         t.join()
 
 
-def build_data_engines(config, registry: Optional[TaskRegistry] = None
+def build_data_engines(config, registry: Optional[TaskRegistry] = None,
+                       mesh=None
                        ) -> Tuple[DataEngine, DataEngine, TaskRegistry]:
     """Build train/val engines from config (reference build_dataloaders,
     train.py:31-173, incl. the single-task filter and dataset-derived task
-    override)."""
+    override).
+
+    ``mesh``: the Trainer's device mesh, when one is configured — the
+    device cache stages its banks sharded over the mesh's ``data`` axis so
+    gathered batches are already batch-sharded (no per-step reshard, and
+    mesh-sharded eval steps see compatible device sets; ADVICE r4)."""
     dataset = MultiTaskDataset(
         config.data_root, image_size=config.image_size,
         force_grayscale=bool(config.get("data.force_grayscale", False)),
@@ -260,14 +266,18 @@ def build_data_engines(config, registry: Optional[TaskRegistry] = None
     )
     # data.device_cache: stage the decoded dataset to HBM once and gather
     # batches on device (see data/device_cache.py). Train and val share one
-    # bank; oversize datasets print a note and keep streaming.
+    # bank; tasks over the budget keep streaming (partial staging), and a
+    # configured mesh shards the banks over its data axis.
     if bool(config.get("data.device_cache", False)):
         budget = int(config.get("data.device_cache_budget_mb", 4096))
         cache = build_device_cache(dataset, list(train_idx) + list(val_idx),
-                                   registry, budget * (1 << 20))
+                                   registry, budget * (1 << 20), mesh=mesh,
+                                   workers=config.num_workers)
         if cache is not None:
             train_engine.device_cache = cache
             val_engine.device_cache = cache
+            note = (f" ({len(cache.skipped_tasks)} task(s) stream)"
+                    if cache.skipped_tasks else "")
             print(f"[data] device dataset cache: {cache.nbytes / 1e6:.0f} MB"
-                  f" staged to device memory")
+                  f" staged to device memory{note}")
     return train_engine, val_engine, registry

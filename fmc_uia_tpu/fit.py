@@ -197,7 +197,8 @@ def fit(config_path: Optional[str] = None, config=None,
         config.output_dir, config.exp_name,
         existing_dir=resume_found[0].parent if resume_found else None)
 
-    train_engine, val_engine, registry = build_data_engines(config)
+    train_engine, val_engine, registry = build_data_engines(config,
+                                                            mesh=mesh)
     # snapshot AFTER the dataset-derived task override so the experiment's
     # config.yaml can rebuild the exact trained model (predict.py relies on
     # this; the reference snapshots before the override, train.py:538)

@@ -701,6 +701,10 @@ class Trainer:
 
                 akey = self._aot_key(task_type, images, labels)
                 path = _os.path.join(aot_dir, f"{task_type}_{akey}.aotx")
+                # SECURITY: the payload is unpickled — aot_dir must be a
+                # TRUSTED, non-world-writable path (arbitrary code
+                # execution otherwise). It is opt-in (BENCH_AOT_DIR) and
+                # documented as trusted-only.
                 if _os.path.exists(path):
                     try:
                         from jax.experimental.serialize_executable import (
@@ -709,9 +713,39 @@ class Trainer:
 
                         with open(path, "rb") as f:
                             payload, in_tree, out_tree = pickle.load(f)
-                        self._compiled[key] = deserialize_and_load(
+                        exe = deserialize_and_load(
                             payload, in_tree, out_tree)
-                        return _time.time() - t0
+                        # Timed smoke step before trusting it: on the axon
+                        # transport deserialized executables execute ~70x
+                        # slow with broken ready-events (PERF.md r4) — a
+                        # severe SILENT regression. Run once on a copied
+                        # state (donation consumes the copy), sync via a
+                        # data read (ready-events lie on this transport),
+                        # and discard the executable if implausibly slow.
+                        state_copy = jax.tree_util.tree_map(
+                            jnp.copy, self.state)
+                        t_smoke = _time.time()
+                        out = exe(state_copy, images, labels, task_index,
+                                  lr, adaptive_enable, self.rng)
+                        small = min(
+                            jax.tree_util.tree_leaves(out),
+                            key=lambda l: getattr(l, "size", 1 << 60))
+                        jax.device_get(small)
+                        smoke = _time.time() - t_smoke
+                        limit = float(_os.environ.get(
+                            "FMC_AOT_SMOKE_MAX_S", "5"))
+                        del out, state_copy
+                        if smoke > limit:
+                            print(
+                                f"[warm] AOT executable for {task_type} "
+                                f"took {smoke:.1f}s for its smoke step "
+                                f"(guard {limit:.0f}s) — the deserialized "
+                                f"executable is degraded on this "
+                                f"transport; discarding and recompiling "
+                                f"(FMC_AOT_SMOKE_MAX_S raises the guard)")
+                        else:
+                            self._compiled[key] = exe
+                            return _time.time() - t0
                     except Exception as e:  # corrupt/incompatible: recompile
                         print(f"[warm] AOT cache load failed for "
                               f"{task_type} ({type(e).__name__}: "
@@ -729,16 +763,18 @@ class Trainer:
                     compiled = lowered.compile()
                     break
                 except Exception as e:
+                    from fmc_uia_tpu.utils.transient import is_transient
+
                     last = e
                     msg = f"{type(e).__name__}: {e}"
-                    transient = any(m in msg for m in (
-                        "remote_compile", "read body", "UNAVAILABLE",
-                        "DEADLINE_EXCEEDED", "Connection", "connection",
-                        "Socket closed", "EOF", "ABORTED", "http://"))
-                    if not transient or attempt == 2:
+                    if attempt == 0:
+                        # full error up front so a genuine compile failure
+                        # is never masked behind retry sleeps (ADVICE r4)
+                        print(f"[warm] compile failure for {task_type}: "
+                              f"{msg}")
+                    if not is_transient(e) or attempt == 2:
                         raise
-                    print(f"[warm] transient compile failure for "
-                          f"{task_type} ({msg[:160]}); retry "
+                    print(f"[warm] classified transient; retry "
                           f"{attempt + 1}/2 in {10 * (attempt + 1)}s")
                     _time.sleep(10 * (attempt + 1))
             else:  # pragma: no cover - loop always breaks or raises
