@@ -68,6 +68,12 @@ def build_flagship_config(path: str) -> None:
     cfg["data"].update({
         "root_path": ROOT, "val_split": 0.25, "batch_size": BATCH,
         "num_workers": 4, "image_size": SIZE, "cache_samples": True,
+        # stage the dataset to HBM once (data/device_cache.py): on the axon
+        # transport the streaming path is transfer-bound at ~43 img/s
+        # (PERF.md r4), so the in-train rate only evidences the device rate
+        # with the cache on. Data-section-only change: the train-step HLO
+        # (and so the persistent compile cache) is unaffected.
+        "device_cache": bool(int(os.environ.get("FIT_DEVICE_CACHE", "1"))),
     })
     cfg["model"]["encoder"]["name"] = ENCODER
     cfg["training"]["num_epochs"] = EPOCHS
