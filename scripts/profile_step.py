@@ -55,22 +55,39 @@ def aggregate_xplane(trace_dir):
 
 
 def categorize(name):
-    n = name.lower()
-    if "custom-call" in n or "pallas" in n or "tpu_custom_call" in n:
+    """Bucket by the op's OWN name + opcode — not the full HLO text.
+
+    The r3-r4 audits (PERF.md) proved the old full-text substring match
+    mis-bucketed ~35 of seg's 44 ms "copy" as copies because fusion rows
+    carry their operand list, and operands named %copy.N matched: the real
+    split is 7.5 ms true copies / 35 ms weight-grad & DUS fusions. The
+    xplane op text is `%own_name = type opcode(operands...)`; the opcode
+    is the word directly before ITS operand paren (operand refs are
+    `%name,`-shaped, never followed by `(`), and the own name encodes
+    semantic origin for fused layout work (%copy_convert_fusion)."""
+    own = name.split(" = ")[0].lstrip("%").lower()
+
+    def opcode(kw):
+        return f" {kw}(" in name or name.startswith(f"{kw}(")
+
+    if (opcode("custom-call") or "pallas" in own
+            or "tpu_custom_call" in name):
         return "pallas-custom-call"
-    if "copy" in n:  # before fusion/conv: %copy_convert_fusion is a copy,
-        return "copy"  # and "convert" would false-match "conv"
-    if n.startswith("fusion") or ".fusion" in n or "fused" in n:
-        return "fusion"
-    if "convolution" in n:
+    if opcode("copy") or own.startswith(("copy", "copy-start", "copy-done")):
+        return "copy"  # incl. fused copy_convert (layout work by origin)
+    if opcode("convolution"):
         return "convolution"
-    if n.startswith("convert") or ".convert" in n:
+    if opcode("fusion") or "fusion" in own:
+        return "fusion"
+    if opcode("convert"):
         return "layout"
-    if "dynamic-update-slice" in n or "dynamic-slice" in n or "slice" in n:
+    if (opcode("dynamic-update-slice") or opcode("dynamic-slice")
+            or opcode("slice")):
         return "slice/dus"
-    if "all-reduce" in n or "all-gather" in n or "reduce-scatter" in n:
+    if (opcode("all-reduce") or opcode("all-gather")
+            or opcode("reduce-scatter") or opcode("all-to-all")):
         return "collective"
-    if "transpose" in n or "reshape" in n or "bitcast" in n:
+    if opcode("transpose") or opcode("reshape") or opcode("bitcast"):
         return "layout"
     return "other"
 
