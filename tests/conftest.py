@@ -59,10 +59,12 @@ SLOW_FILES = {
     "test_device_cache_mesh.py",
 }
 
-# `pytest -m mid` — the ~10-minute mesh smoke between the fast tier and the
-# full slow tier (VERDICT r3 Weak #6): enough multi-chip coverage to catch
-# sharding/leak regressions daily without the 45-min full run. Mid files
-# also carry `slow`, so `-m slow` remains the complete tier.
+# `pytest -m mid` — the mesh smoke between the fast tier and the full
+# slow tier (VERDICT r3 Weak #6): enough multi-chip coverage to catch
+# sharding/leak regressions daily without the full run. Measured on a
+# 1-core host (tests/README.md): mid ~15 min, full slow ~62 min; both
+# scale down with cores (XLA compiles in parallel). Mid files also carry
+# `slow`, so `-m slow` remains the complete tier.
 MID_FILES = {
     "test_multichip.py",            # dp grads == single-dev + dryrun entry
     "test_activation_mesh_scope.py",  # mesh-leak regression (r3 Weak #1)
