@@ -611,6 +611,12 @@ class Trainer:
         # (task_type, image/label shapes+dtypes) and preferred by
         # train_batch when the key matches exactly
         self._compiled: Dict = {}
+        # serializes TRACING in the parallel warm-compile: interleaved
+        # traces destabilize one program's persistent-cache key (see
+        # warm_compile)
+        import threading
+
+        self._trace_lock = threading.Lock()
 
     @staticmethod
     def _compiled_key(task_type: str, images, labels):
@@ -683,7 +689,7 @@ class Trainer:
         if self.accum_steps > 1:
             return {}  # accumulation path takes an extra arg; jit handles it
 
-        def compile_one(task_type, batch):
+        def compile_one(task_type, batch, lowered=None):
             t0 = _time.time()
             images, labels, task_index, lr, adaptive_enable = (
                 self._step_args(batch, 0))
@@ -757,9 +763,22 @@ class Trainer:
             last = None
             for attempt in range(3):
                 try:
-                    lowered = self.steps[task_type].lower(
-                        self.state, images, labels, task_index, lr,
-                        adaptive_enable, self.rng)
+                    # Tracing happens SEQUENTIALLY in sorted task order
+                    # (pre-lowered below, or lock-serialized here on the
+                    # retry path): with all 4 lowerings tracing in parallel
+                    # threads, the emitted module depends on which program
+                    # traced the shared step core first, so one program's
+                    # persistent-cache key varied run-to-run and never hit
+                    # (measured r5: two identical back-to-back bench runs,
+                    # the second still wrote a new cache entry and paid
+                    # 171 s). Only the tunnel-bound compile (62-240 s)
+                    # runs concurrently — which is where the parallel win
+                    # lives; tracing is 11-48 s/program.
+                    if lowered is None:
+                        with self._trace_lock:
+                            lowered = self.steps[task_type].lower(
+                                self.state, images, labels, task_index, lr,
+                                adaptive_enable, self.rng)
                     compiled = lowered.compile()
                     break
                 except Exception as e:
@@ -806,8 +825,27 @@ class Trainer:
             if parallel and len(example_batches) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
+                # deterministic tracing pass: lower every program on THIS
+                # thread in sorted task order so each run emits identical
+                # modules (stable persistent-cache keys); skipped when the
+                # AOT pickle cache is on (its loads bypass tracing).
+                lowereds: Dict[str, Any] = {}
+                if not aot_dir:
+                    for t in sorted(example_batches):
+                        b = example_batches[t]
+                        images, labels, task_index, lr, adaptive_enable = (
+                            self._step_args(b, 0))
+                        try:
+                            lowereds[t] = self.steps[t].lower(
+                                self.state, images, labels, task_index,
+                                lr, adaptive_enable, self.rng)
+                        except Exception as e:
+                            print(f"[warm] lowering failed for {t} "
+                                  f"({type(e).__name__}: {str(e)[:160]}); "
+                                  f"its thread will retrace")
                 with ThreadPoolExecutor(len(example_batches)) as ex:
-                    futs = {t: ex.submit(compile_one, t, b)
+                    futs = {t: ex.submit(compile_one, t, b,
+                                         lowereds.get(t))
                             for t, b in example_batches.items()}
                     for t, f in futs.items():
                         try:
@@ -819,8 +857,8 @@ class Trainer:
                                   f"({type(e).__name__}: {str(e)[:160]}); "
                                   f"jit will compile it on first step")
             else:
-                for t, b in example_batches.items():
-                    times[t] = compile_one(t, b)
+                for t in sorted(example_batches):
+                    times[t] = compile_one(t, example_batches[t])
         return times
 
     def _dev_scalar(self, key: str, value, dtype) -> jax.Array:
