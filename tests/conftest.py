@@ -56,7 +56,7 @@ SLOW_FILES = {
     "test_pipeline_parallel.py", "test_expert_parallel.py",
     "test_zero.py", "test_distributed.py", "test_round2_fixes.py",
     "test_activation_mesh_scope.py", "test_fused_mesh_parity.py",
-    "test_device_cache_mesh.py",
+    "test_device_cache_mesh.py", "test_warm_cache_stability.py",
 }
 
 # `pytest -m mid` — the mesh smoke between the fast tier and the full
